@@ -1,0 +1,70 @@
+"""Headline benchmark: nightmare_v3 env throughput on one TPU chip.
+
+Runs the FULL env step (batched physics ×decimation + observations + rewards
++ terminations + masked resets) at 4096 parallel envs with random actions,
+mirroring what the training hot loop does per control step.
+
+Prints ONE JSON line.  vs_baseline compares raw physics substeps/s against
+the reference's simple_test.py measurement in this container (71,308 mj_step
+substeps/s — BASELINE.md).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from nightmare_rl_tpu.core.config import EnvCfg, NightmareV3Cfg
+from nightmare_rl_tpu.envs.nightmare_v3 import NightmareV3Env
+
+NUM_ENVS = 4096
+STEPS = 50
+BASELINE_PHYS_STEPS_PER_S = 71_308.0
+
+
+def main() -> None:
+    cfg = NightmareV3Cfg().replace(env=EnvCfg(num_envs=NUM_ENVS))
+    env = NightmareV3Env(cfg)
+
+    state = env.init(0)
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def rollout(state, key):
+        def body(carry, _):
+            state, key = carry
+            key, k = jax.random.split(key)
+            actions = jax.random.normal(k, (NUM_ENVS, env.num_actions))
+            out = env._step_batch(state, actions)
+            return (out.state, key), out.reward.sum()
+
+        (state, key), rew = jax.lax.scan(body, (state, key), None, length=STEPS)
+        return state, key, rew.sum()
+
+    # warmup / compile
+    state, key, _ = rollout(state, key)
+    jax.block_until_ready(state.phys.qpos)
+
+    t0 = time.perf_counter()
+    state, key, r = rollout(state, key)
+    jax.block_until_ready(state.phys.qpos)
+    wall = time.perf_counter() - t0
+
+    env_steps = NUM_ENVS * STEPS
+    env_rate = env_steps / wall
+    phys_rate = env_rate * cfg.control.decimation
+    print(
+        json.dumps(
+            {
+                "metric": "env_steps_per_s_4096envs_1chip",
+                "value": round(env_rate, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(phys_rate / BASELINE_PHYS_STEPS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Flax actor-critic matching rsl_rl's ActorCritic module semantics.
+
+The reference trains with rsl_rl v1.0.2's ActorCritic: MLP actor + MLP critic
+(hidden dims [54, 42, 30], elu — envs/nightmare_v3_config.py:105-109) and a
+state-independent learned std vector initialized at init_noise_std (the std
+itself is the parameter, not log-std).  play.py:65-72,122 loads it and calls
+.act(obs).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+_ACTIVATIONS = {
+    "elu": nn.elu,
+    "relu": nn.relu,
+    "selu": nn.selu,
+    "lrelu": lambda x: nn.leaky_relu(x),
+    "tanh": nn.tanh,
+    "sigmoid": nn.sigmoid,
+}
+
+
+class MLP(nn.Module):
+    hidden: Sequence[int]
+    out: int
+    activation: str = "elu"
+
+    @nn.compact
+    def __call__(self, x):
+        act = _ACTIVATIONS[self.activation]
+        for h in self.hidden:
+            x = act(nn.Dense(h)(x))
+        return nn.Dense(self.out)(x)
+
+
+class ActorCritic(nn.Module):
+    num_actions: int
+    actor_hidden: Sequence[int] = (54, 42, 30)
+    critic_hidden: Sequence[int] = (54, 42, 30)
+    activation: str = "elu"
+    init_noise_std: float = 1.0
+
+    def setup(self):
+        self.actor = MLP(self.actor_hidden, self.num_actions, self.activation)
+        self.critic = MLP(self.critic_hidden, 1, self.activation)
+        # std is the raw parameter (rsl_rl keeps it positive only implicitly)
+        self.std = self.param(
+            "std",
+            lambda key, shape: jnp.full(shape, self.init_noise_std),
+            (self.num_actions,),
+        )
+
+    def __call__(self, obs):
+        """Returns (mu, std, value)."""
+        mu = self.actor(obs)
+        v = self.critic(obs)[..., 0]
+        std = jnp.broadcast_to(self.std, mu.shape)
+        return mu, std, v
+
+    def act_inference(self, obs):
+        return self.actor(obs)
+
+    def value(self, obs):
+        return self.critic(obs)[..., 0]
+
+
+def sample_action(key, mu, std):
+    return mu + std * jax.random.normal(key, mu.shape, mu.dtype)
+
+
+def log_prob(mu, std, action):
+    """Diagonal Gaussian log-density, summed over the action dim."""
+    var = jnp.square(std)
+    lp = -0.5 * (
+        jnp.square(action - mu) / var + 2.0 * jnp.log(std) + jnp.log(2.0 * jnp.pi)
+    )
+    return jnp.sum(lp, axis=-1)
+
+
+def entropy(std):
+    return jnp.sum(0.5 * (1.0 + jnp.log(2.0 * jnp.pi)) + jnp.log(std), axis=-1)
+
+
+def gaussian_kl(mu_old, std_old, mu_new, std_new):
+    """rsl_rl's adaptive-lr KL: sum over dims of
+    log(σ'/σ) + (σ² + (μ−μ')²)/(2σ'²) − ½."""
+    return jnp.sum(
+        jnp.log(std_new / std_old)
+        + (jnp.square(std_old) + jnp.square(mu_old - mu_new))
+        / (2.0 * jnp.square(std_new))
+        - 0.5,
+        axis=-1,
+    )

@@ -1,0 +1,141 @@
+"""Full physics step: forward dynamics + implicitfast integration + sensors.
+
+The TPU-native equivalent of ``mj_step(model, data, nstep)`` as used by the
+reference's hot loop (nightmare_rl ``envs/nightmare_v3_env.py:198-200``):
+a pure function ``step(sys, state, ctrl, n)`` that is vmapped over envs and
+jitted by the env layer.  Touch sensordata is produced from contact normal
+forces through the static sensor membership matrix, replicating MuJoCo's
+touch-sensor-site semantics that the reward/termination logic consumes
+(``envs/nightmare_v3_env.py:224-226``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from nightmare_rl_tpu.core import quat as Q
+from nightmare_rl_tpu.physics import collision, dynamics, kinematics, solver
+from nightmare_rl_tpu.physics import system as S
+
+
+class ForwardOut(NamedTuple):
+    kin: kinematics.KinOut
+    vel: kinematics.VelOut
+    M: jnp.ndarray
+    M_chol: jnp.ndarray
+    qfrc_smooth: jnp.ndarray
+    qacc_smooth: jnp.ndarray
+    con: collision.Contacts
+    efc: solver.Efc
+    sol: solver.SolveOut
+    act: dynamics.ActOut
+    sensordata: jnp.ndarray
+
+
+def make_state(sys: S.System) -> S.State:
+    """Fresh state at the model reference pose (mjData after reset)."""
+    dt = sys.dtype
+    return S.State(
+        qpos=sys.qpos0.astype(dt),
+        qvel=jnp.zeros(sys.nv, dt),
+        qacc_warmstart=jnp.zeros(sys.nv, dt),
+        sensordata=jnp.zeros(sys.nsensor, dt),
+        xpos=jnp.zeros((sys.nbody, 3), dt),
+        xquat=jnp.zeros((sys.nbody, 4), dt).at[:, 0].set(1.0),
+        xipos=jnp.zeros((sys.nbody, 3), dt),
+        cvel=jnp.zeros((sys.nbody, 6), dt),
+        subtree_com=jnp.zeros((sys.nbody, 3), dt),
+        qfrc_actuator=jnp.zeros(sys.nv, dt),
+    )
+
+
+def forward(sys: S.System, state: S.State, ctrl: jnp.ndarray) -> ForwardOut:
+    qpos, qvel = state.qpos, state.qvel
+    kin = kinematics.kinematics(sys, qpos)
+    vel = kinematics.com_vel(sys, kin, qvel)
+
+    M = dynamics.crb(sys, kin)
+    M_chol = jnp.linalg.cholesky(M)
+
+    bias = dynamics.rne_bias(sys, kin, vel, qvel)
+    act = dynamics.actuation(sys, qpos, qvel, ctrl)
+    qfrc_passive = dynamics.passive(sys, qvel)
+
+    qfrc_smooth = act.qfrc_actuator + qfrc_passive - bias
+    qacc_smooth = jax.scipy.linalg.cho_solve((M_chol, True), qfrc_smooth)
+
+    con = collision.find_contacts(sys, kin)
+    efc = solver.make_efc(sys, con, qvel)
+    sol = solver.solve(sys, efc, M_chol, qacc_smooth)
+
+    # touch sensors: per-contact normal force = Σ pyramid facet forces
+    nforce = sol.force.reshape(sys.ncp, 4).sum(axis=1)
+    sensordata = sys.sensor_cpoint_matrix @ nforce
+
+    return ForwardOut(
+        kin, vel, M, M_chol, qfrc_smooth, qacc_smooth, con, efc, sol, act,
+        sensordata,
+    )
+
+
+def _integrate_pos(sys: S.System, qpos: jnp.ndarray, qvel: jnp.ndarray, dt):
+    """mj_integratePos: joint-type-aware position update."""
+    out = qpos
+    for j in range(sys.njnt):
+        qadr, dadr = sys.jnt_qposadr[j], sys.jnt_dofadr[j]
+        jt = sys.jnt_type[j]
+        if jt == S.FREE:
+            out = out.at[qadr : qadr + 3].add(dt * qvel[dadr : dadr + 3])
+            q = Q.integrate(
+                qpos[qadr + 3 : qadr + 7], qvel[dadr + 3 : dadr + 6], dt
+            )
+            out = out.at[qadr + 3 : qadr + 7].set(q)
+        else:
+            out = out.at[qadr].add(dt * qvel[dadr])
+    return out
+
+
+def step(sys: S.System, state: S.State, ctrl: jnp.ndarray, n_steps: int = 1) -> S.State:
+    """Advance physics by ``n_steps`` timesteps with constant ctrl
+    (the decimation loop of envs/nightmare_v3_env.py:200)."""
+
+    def one(state, _):
+        fwd = forward(sys, state, ctrl)
+        dt = sys.timestep
+
+        if sys.integrator == S.IMPLICITFAST:
+            # (M - h·∂f/∂v)·qacc = qfrc_smooth + qfrc_constraint, where the
+            # velocity derivative has actuator (gear²·b2) and damping terms
+            deriv = fwd.act.vel_deriv - sys.dof_damping  # diagonal of ∂f/∂v
+            Mhat = fwd.M - dt * jnp.diag(deriv)
+            Lhat = jnp.linalg.cholesky(Mhat)
+            qacc = jax.scipy.linalg.cho_solve(
+                (Lhat, True), fwd.qfrc_smooth + fwd.sol.qfrc_constraint
+            )
+        else:
+            qacc = fwd.sol.qacc
+
+        qvel = state.qvel + dt * qacc
+        qpos = _integrate_pos(sys, state.qpos, qvel, dt)
+
+        new = state.replace(
+            qpos=qpos,
+            qvel=qvel,
+            qacc_warmstart=fwd.sol.qacc,
+            sensordata=fwd.sensordata,
+            xpos=fwd.kin.xpos,
+            xquat=fwd.kin.xquat,
+            xipos=fwd.kin.xipos,
+            cvel=fwd.vel.cvel,
+            subtree_com=fwd.kin.subtree_com,
+            qfrc_actuator=fwd.act.qfrc_actuator,
+        )
+        return new, None
+
+    if n_steps == 1:
+        return one(state, None)[0]
+    state, _ = jax.lax.scan(one, state, None, length=n_steps)
+    return state

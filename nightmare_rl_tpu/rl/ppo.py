@@ -1,0 +1,297 @@
+"""On-device PPO: fused rollout + GAE + clipped update, one jit per iteration.
+
+TPU-native replacement for rsl_rl v1.0.2's OnPolicyRunner/PPO (the external
+layer the reference drives from train.py:40-54).  Semantics mirrored:
+
+- 80-step rollout per iteration (runner.num_steps_per_env), storage of
+  (obs, action, reward, done, value, logp, mu, sigma);
+- timeout bootstrapping: reward += γ·V(s)·timeout (PPO.process_env_step,
+  enabled by extras['time_outs'] — envs/nightmare_v3_env.py:369-371);
+- GAE(γ=0.99, λ=0.95), advantages normalized over the whole batch;
+- 5 epochs × 4 minibatches over one shared random permutation;
+- clipped surrogate (0.2) + clipped value loss + entropy bonus (0.0015);
+- adaptive learning rate targeting desired_kl=0.01, updated per minibatch
+  (×1.5 / ÷1.5, clamped to [1e-5, 1e-2]) and applied immediately;
+- Adam with grad-norm clip 1.0.
+
+The whole iteration — env scan + update epochs — compiles to a single XLA
+program; nothing touches the host in the hot loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from nightmare_rl_tpu.core.config import PPOCfg
+from nightmare_rl_tpu.models import actor_critic as ac
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    lr: jnp.ndarray          # () adaptive learning rate
+    rng: jnp.ndarray
+    env_state: Any           # batched EnvState
+    obs: jnp.ndarray         # (N, num_obs) current observations
+    iteration: jnp.ndarray   # () int32
+
+
+class Transition(NamedTuple):
+    obs: jnp.ndarray
+    action: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+    value: jnp.ndarray
+    logp: jnp.ndarray
+    mu: jnp.ndarray
+    sigma: jnp.ndarray
+
+
+class PPO:
+    def __init__(self, env, cfg: PPOCfg, dtype=jnp.float32, axis_name=None,
+                 num_shards: int = 1):
+        """axis_name: when run under shard_map over a device mesh axis, the
+        name of that axis — gradients, KL, and advantage statistics are then
+        pmean'd across it so every shard takes identical optimizer steps."""
+        self.env = env
+        self.cfg = cfg
+        self.dtype = dtype
+        self.axis_name = axis_name
+        self.num_shards = num_shards
+        p = cfg.policy
+        self.net = ac.ActorCritic(
+            num_actions=env.num_actions,
+            actor_hidden=tuple(p.actor_hidden_dims),
+            critic_hidden=tuple(p.critic_hidden_dims),
+            activation=p.activation,
+            init_noise_std=p.init_noise_std,
+        )
+        a = cfg.algorithm
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(a.max_grad_norm),
+            optax.inject_hyperparams(optax.adam)(learning_rate=a.learning_rate),
+        )
+        self._iterate = jax.jit(self._iteration)
+
+    # ------------------------------------------------------------------
+
+    def init(self, seed: int | None = None) -> TrainState:
+        seed = self.cfg.seed if seed is None else seed
+        rng = jax.random.PRNGKey(seed)
+        rng, k_env, k_net = jax.random.split(rng, 3)
+        env_state, obs = self.env.reset(seed)
+        params = self.net.init(k_net, obs[:1])
+        opt_state = self.tx.init(params)
+        return TrainState(
+            params=params,
+            opt_state=opt_state,
+            lr=jnp.asarray(self.cfg.algorithm.learning_rate, self.dtype),
+            rng=rng,
+            env_state=env_state,
+            obs=obs,
+            iteration=jnp.zeros((), jnp.int32),
+        )
+
+    def randomize_episode_lengths(self, ts: TrainState) -> TrainState:
+        """init_at_random_ep_len=True (train.py:54): spread initial episode
+        lengths uniformly so resets decorrelate."""
+        rng, k = jax.random.split(ts.rng)
+        lens = jax.random.randint(
+            k, (self.env.num_envs,), 0, self.env.max_episode_length, jnp.int32
+        )
+        env_state = ts.env_state.replace(episode_length=lens)
+        return ts.replace(rng=rng, env_state=env_state)
+
+    # ------------------------------------------------------------------
+
+    def _policy(self, params, obs):
+        return self.net.apply(params, obs)
+
+    def _rollout(self, ts: TrainState):
+        T = self.cfg.runner.num_steps_per_env
+        gamma = self.cfg.algorithm.gamma
+
+        def step(carry, _):
+            env_state, obs, rng = carry
+            rng, k = jax.random.split(rng)
+            mu, std, value = self._policy(ts.params, obs)
+            action = ac.sample_action(k, mu, std)
+            logp = ac.log_prob(mu, std, action)
+            out = self.env.step(env_state, action)
+            # timeout bootstrap (rsl_rl PPO.process_env_step)
+            reward = out.reward + gamma * value * out.time_out.astype(value.dtype)
+            tr = Transition(obs, action, reward, out.done, value, logp, mu, std)
+            metrics = (out.reward_terms, out.finished_episode_sums, out.done)
+            return (out.state, out.obs, rng), (tr, metrics)
+
+        (env_state, obs, rng), (traj, metrics) = jax.lax.scan(
+            step, (ts.env_state, ts.obs, ts.rng), None, length=T
+        )
+        return env_state, obs, rng, traj, metrics
+
+    def _gae(self, traj: Transition, last_value):
+        a = self.cfg.algorithm
+
+        def scan_fn(adv_next, tr_and_next_value):
+            tr, next_value = tr_and_next_value
+            nonterminal = 1.0 - tr.done.astype(tr.value.dtype)
+            delta = tr.reward + a.gamma * next_value * nonterminal - tr.value
+            adv = delta + a.gamma * a.lam * nonterminal * adv_next
+            return adv, adv
+
+        next_values = jnp.concatenate(
+            [traj.value[1:], last_value[None]], axis=0
+        )
+        _, advantages = jax.lax.scan(
+            scan_fn, jnp.zeros_like(last_value), (traj, next_values), reverse=True
+        )
+        returns = advantages + traj.value
+        # global batch statistics (ddof=1 to match torch .std()); reduced
+        # across the data axis when sharded
+        n_global = advantages.size * self.num_shards
+        mean = self._pmean(advantages.mean())
+        var = self._psum(jnp.square(advantages - mean).sum()) / max(n_global - 1, 1)
+        norm_adv = (advantages - mean) / (jnp.sqrt(var) + 1e-8)
+        return advantages, returns, norm_adv
+
+    def _pmean(self, x):
+        if self.axis_name is None:
+            return x
+        return jax.lax.pmean(x, self.axis_name)
+
+    def _psum(self, x):
+        if self.axis_name is None:
+            return x
+        return jax.lax.psum(x, self.axis_name)
+
+    def _update(self, ts: TrainState, traj: Transition, returns, norm_adv, rng):
+        a = self.cfg.algorithm
+        T, N = traj.reward.shape
+        B = T * N
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((B,) + x.shape[2:]), traj
+        )
+        returns = returns.reshape(B)
+        norm_adv = norm_adv.reshape(B)
+
+        nmb = a.num_mini_batches
+        mb_size = B // nmb
+        rng, k = jax.random.split(rng)
+        perm = jax.random.permutation(k, B)  # one permutation, all epochs
+
+        def minibatch_step(carry, idx):
+            params, opt_state, lr = carry
+            mb = jax.tree_util.tree_map(lambda x: x[idx], flat)
+            mb_ret = returns[idx]
+            mb_adv = norm_adv[idx]
+
+            def loss_fn(p):
+                mu, std, value = self._policy(p, mb.obs)
+                logp = ac.log_prob(mu, std, mb.action)
+                ratio = jnp.exp(logp - mb.logp)
+                surr1 = -mb_adv * ratio
+                surr2 = -mb_adv * jnp.clip(
+                    ratio, 1.0 - a.clip_param, 1.0 + a.clip_param
+                )
+                surrogate = jnp.maximum(surr1, surr2).mean()
+                if a.use_clipped_value_loss:
+                    v_clip = mb.value + jnp.clip(
+                        value - mb.value, -a.clip_param, a.clip_param
+                    )
+                    v_loss = jnp.maximum(
+                        jnp.square(value - mb_ret), jnp.square(v_clip - mb_ret)
+                    ).mean()
+                else:
+                    v_loss = jnp.square(value - mb_ret).mean()
+                ent = ac.entropy(std).mean()
+                loss = surrogate + a.value_loss_coef * v_loss - a.entropy_coef * ent
+                kl = ac.gaussian_kl(mb.mu, mb.sigma, mu, std).mean()
+                return loss, (surrogate, v_loss, kl)
+
+            (loss, (surr, v_loss, kl)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            # data-parallel reduction: every shard steps identically
+            grads = jax.tree_util.tree_map(self._pmean, grads)
+            kl = self._pmean(kl)
+
+            # adaptive lr (rsl_rl PPO.update): adjust from this minibatch's
+            # KL, then apply the *new* lr to this minibatch's step
+            if a.schedule == "adaptive":
+                lr = jnp.where(
+                    kl > a.desired_kl * 2.0,
+                    jnp.maximum(1e-5, lr / 1.5),
+                    jnp.where(
+                        (kl < a.desired_kl / 2.0) & (kl > 0.0),
+                        jnp.minimum(1e-2, lr * 1.5),
+                        lr,
+                    ),
+                )
+            opt_state[1].hyperparams["learning_rate"] = lr
+            updates, new_opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_opt_state, lr), (loss, surr, v_loss, kl)
+
+        # epoch loop with the shared permutation
+        idxs = perm.reshape(nmb, mb_size)
+        idxs = jnp.tile(idxs, (a.num_learning_epochs, 1))
+        (params, opt_state, lr), (losses, surrs, v_losses, kls) = jax.lax.scan(
+            minibatch_step, (ts.params, ts.opt_state, ts.lr), idxs
+        )
+        stats = {
+            "loss": self._pmean(losses.mean()),
+            "surrogate_loss": self._pmean(surrs.mean()),
+            "value_loss": self._pmean(v_losses.mean()),
+            "kl": kls.mean(),  # already pmean'd per minibatch
+            "lr": lr,
+        }
+        return params, opt_state, lr, rng, stats
+
+    def _iteration(self, ts: TrainState):
+        env_state, obs, rng, traj, (reward_terms, finished_sums, dones) = (
+            self._rollout(ts)
+        )
+        _, _, last_value = self._policy(ts.params, obs)
+        advantages, returns, norm_adv = self._gae(traj, last_value)
+        params, opt_state, lr, rng, stats = self._update(
+            ts, traj, returns, norm_adv, rng
+        )
+        new_ts = TrainState(
+            params=params,
+            opt_state=opt_state,
+            lr=lr,
+            rng=rng,
+            env_state=env_state,
+            obs=obs,
+            iteration=ts.iteration + 1,
+        )
+        # episode metrics: mean finished-episode sums per reward term,
+        # normalized by episode seconds (reference reset_idx :363-367);
+        # reduced across shards when data-parallel
+        n_done = self._psum(jnp.sum(~jnp.isnan(finished_sums[..., 0])))
+        term_sums = self._psum(jnp.nansum(finished_sums, axis=(0, 1)))
+        ep_means = jnp.where(
+            n_done > 0,
+            term_sums / jnp.maximum(n_done, 1) / self.env.max_episode_length_s,
+            jnp.zeros(finished_sums.shape[-1]),
+        )
+        stats = dict(
+            stats,
+            mean_reward=self._pmean(traj.reward.mean()),
+            dones=self._psum(dones.sum()),
+            episode_reward_means=ep_means,
+        )
+        return new_ts, stats
+
+    # ------------------------------------------------------------------
+
+    def learn_step(self, ts: TrainState) -> Tuple[TrainState, Dict[str, Any]]:
+        """One fully-jitted PPO iteration (rollout + update)."""
+        return self._iterate(ts)

@@ -1,0 +1,133 @@
+"""On-policy training runner: the rsl_rl OnPolicyRunner equivalent.
+
+Host-side orchestration around the fully-jitted PPO iteration: metric logging
+(TensorBoard when available), periodic orbax checkpoints named like the
+reference's ``model_<iter>`` (envs/helpers.py:35-39, save_interval
+envs/nightmare_v3_config.py:139), latest-run/latest-checkpoint resume
+resolution (envs/helpers.py:20-42), and wall-clock step-rate reporting.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from nightmare_rl_tpu.core.config import PPOCfg
+from nightmare_rl_tpu.rl.ppo import PPO, TrainState
+from nightmare_rl_tpu.utils import checkpoint as ckpt
+
+
+class OnPolicyRunner:
+    def __init__(self, env, cfg: PPOCfg, log_dir: Optional[str] = None,
+                 writer=None):
+        self.env = env
+        self.cfg = cfg
+        self.log_dir = log_dir
+        self.ppo = PPO(env, cfg)
+        self.ts: TrainState | None = None
+        self.writer = writer
+        self._writer_pending = writer is None and log_dir is not None
+
+    def init(self, seed: Optional[int] = None) -> TrainState:
+        self.ts = self.ppo.init(seed)
+        return self.ts
+
+    def load(self, path: str) -> TrainState:
+        assert self.ts is not None, "call init() before load()"
+        self.ts = ckpt.restore(path, self.ts)
+        return self.ts
+
+    def save(self, it: int) -> None:
+        if self.log_dir is None:
+            return
+        path = os.path.join(self.log_dir, f"model_{it}")
+        ckpt.save(path, self.ts)
+
+    def learn(self, num_learning_iterations: int,
+              init_at_random_ep_len: bool = False) -> TrainState:
+        if self.ts is None:
+            self.init()
+        if init_at_random_ep_len:
+            self.ts = self.ppo.randomize_episode_lengths(self.ts)
+        # writer is created lazily so resume-path resolution never sees the
+        # new (empty) run dir (rsl_rl creates its writer in learn() too)
+        if self._writer_pending:
+            self._writer_pending = False
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.writer = SummaryWriter(log_dir=self.log_dir)
+            except Exception:
+                self.writer = None
+
+        steps_per_iter = (
+            self.cfg.runner.num_steps_per_env * self.env.num_envs
+        )
+        t_start = time.time()
+        for k in range(num_learning_iterations):
+            t0 = time.time()
+            self.ts, stats = self.ppo.learn_step(self.ts)
+            jax.block_until_ready(stats["loss"])
+            dt_iter = time.time() - t0
+            it = int(self.ts.iteration)
+
+            if self.writer is not None:
+                for key in ("loss", "surrogate_loss", "value_loss", "kl", "lr",
+                            "mean_reward"):
+                    self.writer.add_scalar(f"train/{key}", float(stats[key]), it)
+                ep = np.asarray(stats["episode_reward_means"])
+                for name, val in zip(self.env.active_rewards, ep):
+                    self.writer.add_scalar(f"episode/rew_{name}", float(val), it)
+                self.writer.add_scalar(
+                    "perf/env_steps_per_s", steps_per_iter / dt_iter, it
+                )
+            if it % 10 == 0 or k == 0:
+                print(
+                    f"iter {it}: reward {float(stats['mean_reward']):+.4f} "
+                    f"loss {float(stats['loss']):.4f} "
+                    f"kl {float(stats['kl']):.4f} lr {float(stats['lr']):.2e} "
+                    f"({steps_per_iter / dt_iter:,.0f} env-steps/s)"
+                )
+            if self.log_dir and it % self.cfg.runner.save_interval == 0:
+                self.save(it)
+        if self.log_dir:
+            self.save(int(self.ts.iteration))
+        total = num_learning_iterations * steps_per_iter
+        wall = time.time() - t_start
+        print(f"total: {total:,} env-steps in {wall:.1f}s "
+              f"({total / wall:,.0f} env-steps/s)")
+        return self.ts
+
+
+def get_load_path(root: str, load_run=-1, checkpoint=-1) -> str:
+    """Latest-run / latest-checkpoint resolution (envs/helpers.py:20-42)."""
+    runs = sorted(os.listdir(root))
+    if "exported" in runs:
+        runs.remove("exported")
+    if not runs:
+        raise ValueError("No runs in this directory: " + root)
+    if load_run == -1:
+        # newest run that actually contains a checkpoint (robustness over the
+        # reference, which blindly takes the newest dir)
+        candidates = [
+            os.path.join(root, r)
+            for r in reversed(runs)
+            if os.path.isdir(os.path.join(root, r))
+            and any("model" in f for f in os.listdir(os.path.join(root, r)))
+        ]
+        if not candidates:
+            raise ValueError("No checkpoints under: " + root)
+        load_run = candidates[0]
+    else:
+        load_run = os.path.join(root, load_run)
+    if checkpoint == -1:
+        models = [f for f in os.listdir(load_run) if "model" in f]
+        models.sort(key=lambda m: "{0:0>15}".format(m))
+        model = models[-1]
+    else:
+        model = f"model_{checkpoint}"
+    return os.path.join(load_run, model)

@@ -1,0 +1,112 @@
+"""Run a trained policy in the TPU env and (optionally) replay it in the
+host-side MuJoCo viewer.
+
+Equivalent of the reference's play.py (checkpoint load, obs assembly, action
+law, camera-follow viewer, FPS meter — nightmare_rl play.py:62-172), but
+TPU-native: the rollout runs batched/jitted on device; visualization happens
+afterwards (or live at low rate) by streaming qpos into a passive
+mujoco.viewer on the host, since TPU hosts have no GPU/GL stack in the hot
+path.
+
+    python -m nightmare_rl_tpu.tools.play --ckpt logs/nightmare_v3/<run>/model_1000 \
+        [--view] [--vx 0.3] [--wz 0.0] [--steps 500]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="orbax checkpoint dir (model_<iter>); random policy if unset")
+    p.add_argument("--steps", type=int, default=500)
+    p.add_argument("--vx", type=float, default=0.3)
+    p.add_argument("--wz", type=float, default=0.0)
+    p.add_argument("--view", action="store_true",
+                   help="replay in mujoco.viewer (needs a display)")
+    p.add_argument("--out", type=str, default=None,
+                   help="save the trajectory to this .pkl (replay format)")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nightmare_rl_tpu.core.config import EnvCfg, NightmareV3Cfg, PPOCfg
+    from nightmare_rl_tpu.envs.nightmare_v3 import NightmareV3Env
+    from nightmare_rl_tpu.models.actor_critic import ActorCritic
+    from nightmare_rl_tpu.utils import checkpoint as ckpt
+
+    cfg = NightmareV3Cfg().replace(env=EnvCfg(num_envs=1))
+    env = NightmareV3Env(cfg)
+    net = ActorCritic(num_actions=env.num_actions)
+    obs0 = jnp.zeros((1, env.num_obs), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), obs0)
+    if args.ckpt:
+        from nightmare_rl_tpu.rl.ppo import PPO
+
+        ppo = PPO(env, PPOCfg())
+        ts = ppo.init(0)
+        ts = ckpt.restore(args.ckpt, ts)
+        params = ts.params
+        print(f"loaded {args.ckpt}")
+
+    state, obs = env.reset(0)
+    # pin the command (teleop equivalent: fixed velocity command)
+    cmd = jnp.tile(jnp.array([args.vx, 0.0, args.wz], jnp.float32), (1, 1))
+    state = state.replace(commands=cmd)
+
+    @jax.jit
+    def policy_step(params, state, obs):
+        mu = net.apply(params, obs, method=ActorCritic.act_inference)
+        out = env._step_batch(state.replace(commands=cmd), mu)
+        return out.state, out.obs, out.reward
+
+    traj = []
+    t = 0.0
+    for k in range(args.steps):
+        state, obs, rew = policy_step(params, state, obs)
+        traj.append(
+            (t, np.asarray(state.phys.qpos[0]).astype(np.float64),
+             np.asarray(state.phys.qvel[0]).astype(np.float64), np.zeros(0))
+        )
+        t += env.dt
+    print(f"rolled out {args.steps} steps; final base pos "
+          f"{np.asarray(state.phys.qpos[0][:3]).round(3)}")
+
+    if args.out:
+        with open(args.out, "wb") as f:
+            pickle.dump(traj, f)
+        print(f"saved trajectory to {args.out}")
+
+    if args.view:
+        replay_in_viewer(traj)
+
+
+def replay_in_viewer(traj, xml="/root/reference/models/nightmare_v3/mjmodel.xml",
+                     rate: float = 1.0):
+    """Host-side visualization by state injection (open_custom_play.py:50-66)."""
+    import time as _time
+
+    import mujoco as mj
+    import mujoco.viewer as mjv
+
+    m = mj.MjModel.from_xml_path(xml)
+    d = mj.MjData(m)
+    with mjv.launch_passive(m, d) as viewer:
+        t_prev = None
+        for (t, qpos, qvel, _act) in traj:
+            d.qpos[:] = qpos
+            d.qvel[:] = qvel
+            mj.mj_forward(m, d)
+            viewer.sync()
+            if t_prev is not None:
+                _time.sleep(max(0.0, (t - t_prev) / rate))
+            t_prev = t
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Train nightmare_v3 PPO on TPU.
+
+Usage mirrors the reference train.py (nightmare_rl train.py:8-19):
+
+    python -m nightmare_rl_tpu.tools.train -e 4096 -n 1000 [-r] [-p PATH]
+
+-n here is the number of learning iterations (the reference ran open-ended;
+model_2000.pt is its known artifact).  Multi-device: pass --mesh to shard
+envs over all visible devices.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("-e", "--envs", type=int, default=2048, dest="num_envs")
+    p.add_argument("-n", "--iterations", type=int, default=1000)
+    p.add_argument("-r", "--resume", action="store_true", default=False)
+    p.add_argument("-p", "--resume_path", type=str, default=None)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--mesh", action="store_true", help="shard envs over all devices")
+    p.add_argument("--log_root", type=str, default="logs/nightmare_v3")
+    args = p.parse_args()
+
+    from nightmare_rl_tpu.core.config import EnvCfg, NightmareV3Cfg, PPOCfg
+    from nightmare_rl_tpu.envs.nightmare_v3 import NightmareV3Env
+    from nightmare_rl_tpu.rl.runner import OnPolicyRunner, get_load_path
+
+    log_dir = os.path.join(args.log_root, str(datetime.datetime.now()))
+    print(f"Logging to {log_dir}")
+
+    cfg = NightmareV3Cfg().replace(env=EnvCfg(num_envs=args.num_envs))
+    pcfg = PPOCfg().replace(seed=args.seed)
+
+    env = NightmareV3Env(cfg)
+
+    if args.mesh:
+        import jax
+        from nightmare_rl_tpu.parallel.mesh import ShardedPPO, make_mesh
+
+        mesh = make_mesh()
+        print(f"mesh: {mesh}")
+        trainer = ShardedPPO(env, pcfg, mesh)
+        ts = trainer.init(args.seed)
+        ts = trainer.randomize_episode_lengths(ts)
+        import time
+
+        steps_per_iter = pcfg.runner.num_steps_per_env * env.num_envs
+        for k in range(args.iterations):
+            t0 = time.time()
+            ts, stats = trainer.learn_step(ts)
+            jax.block_until_ready(stats["loss"])
+            if k % 10 == 0:
+                print(
+                    f"iter {k}: reward {float(stats['mean_reward']):+.4f} "
+                    f"({steps_per_iter / (time.time() - t0):,.0f} env-steps/s)"
+                )
+        return
+
+    runner = OnPolicyRunner(env, pcfg, log_dir=log_dir)
+    runner.init(args.seed)
+    if args.resume:
+        root = args.resume_path if args.resume_path else args.log_root
+        path = get_load_path(root)
+        print(f"Loading model from: {path}")
+        runner.load(path)
+    runner.learn(args.iterations, init_at_random_ep_len=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Constraint assembly + step parity vs MuJoCo.
+
+Strategy: inject MuJoCo's own contact points into our System so the constraint
+machinery (J/aref/R assembly, touch sensors, integration) is tested
+independently of contact-point geometry; plus exact airborne integration.
+"""
+
+import dataclasses
+
+import mujoco as mj
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nightmare_rl_tpu.physics import loader, kinematics, collision, solver, pipeline
+
+XML = "/root/reference/models/nightmare_v3/mjmodel.xml"
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    m = mj.MjModel.from_xml_path(XML)
+    return m, mj.MjData(m), loader.system_from_mjmodel(m)
+
+
+def settled_state(m, d, seed=0, steps=120):
+    mj.mj_resetData(m, d)
+    rng = np.random.default_rng(seed)
+    for _ in range(steps):
+        d.ctrl[:] = rng.normal(size=m.nu) * 2
+        mj.mj_step(m, d)
+    return d.qpos.copy(), d.qvel.copy(), d.ctrl.copy()
+
+
+def inject_their_contacts(sys, m, d):
+    cp_body, cp_pos = [], []
+    for c in d.contact[: d.ncon]:
+        b = int(m.geom_bodyid[c.geom2])
+        R = d.xmat[b].reshape(3, 3)
+        vertex = c.pos + np.array([0, 0, c.dist / 2])
+        cp_body.append(b)
+        cp_pos.append(R.T @ (vertex - d.xpos[b]))
+    ncp = len(cp_body)
+    return dataclasses.replace(
+        sys.replace(
+            cpoint_pos=jnp.array(cp_pos),
+            cpoint_friction=jnp.full(ncp, 1.0),
+            cpoint_solref=jnp.tile(jnp.array([0.02, 1.0]), (ncp, 1)),
+            cpoint_solimp=jnp.tile(
+                jnp.array([0.9, 0.95, 0.001, 0.5, 2.0]), (ncp, 1)
+            ),
+            sensor_cpoint_matrix=jnp.zeros((sys.nsensor, ncp)),
+        ),
+        ncp=ncp,
+        cpoint_bodyid=tuple(cp_body),
+        cpoint_sensor=tuple([-1] * ncp),
+    )
+
+
+def test_efc_assembly_exact(ctx):
+    m, d, sys = ctx
+    qpos, qvel, ctrl = settled_state(m, d)
+    mj.mj_forward(m, d)
+    assert d.ncon > 0
+    sysP = inject_their_contacts(sys, m, d)
+    kin = kinematics.kinematics(sysP, jnp.array(qpos))
+    con = collision.find_contacts(sysP, kin)
+    efc = solver.make_efc(sysP, con, jnp.array(qvel))
+    J_ref = d.efc_J.reshape(d.nefc, m.nv)
+    np.testing.assert_allclose(np.asarray(efc.J), J_ref, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(efc.aref), d.efc_aref, atol=1e-8)
+    np.testing.assert_allclose(1.0 / np.asarray(efc.R), d.efc_D, rtol=1e-10)
+
+
+def test_noslip_matches_mujoco_from_their_forces(ctx):
+    """Starting from MuJoCo's main-PGS forces, our noslip pass reproduces
+    MuJoCo's noslip output (pair updates, zero regularization)."""
+    m, d, sys = ctx
+    qpos, qvel, ctrl = settled_state(m, d)
+    # without noslip
+    m.opt.noslip_iterations = 0
+    d.qpos[:], d.qvel[:], d.ctrl[:] = qpos, qvel, ctrl
+    mj.mj_forward(m, d)
+    f_main = d.efc_force.copy()
+    J = d.efc_J.reshape(d.nefc, m.nv)
+    M = np.zeros((m.nv, m.nv))
+    mj.mj_fullM(m, d, M)
+    A = J @ np.linalg.solve(M, J.T)
+    b = J @ d.qacc_smooth - d.efc_aref
+    # with noslip
+    m.opt.noslip_iterations = 4
+    d.qpos[:], d.qvel[:], d.ctrl[:] = qpos, qvel, ctrl
+    mj.mj_forward(m, d)
+    f_ns_ref = d.efc_force.copy()
+
+    f = f_main.copy()
+    ncon = d.nefc // 4
+    for _ in range(4):
+        for c in range(ncon):
+            for t in range(2):
+                i, j = c * 4 + 2 * t, c * 4 + 2 * t + 1
+                s = f[i] + f[j]
+                g = (A[i] - A[j]) @ f + (b[i] - b[j])
+                h = A[i, i] + A[j, j] - 2 * A[i, j]
+                y = np.clip(0.5 * (f[i] - f[j]) - g / max(h, 1e-12), -s / 2, s / 2)
+                f[i], f[j] = s / 2 + y, s / 2 - y
+    np.testing.assert_allclose(f, f_ns_ref, atol=1e-8)
+
+
+def test_airborne_step_exact(ctx):
+    m, d, sys = ctx
+    rng = np.random.default_rng(7)
+    qpos = m.qpos0.copy()
+    qpos[2] = 1.0
+    q = rng.normal(size=4)
+    qpos[3:7] = q / np.linalg.norm(q)
+    qpos[7:] = rng.normal(size=18) * 0.5
+    qvel = rng.normal(size=m.nv)
+    ctrl = rng.normal(size=m.nu) * 2
+    mj.mj_resetData(m, d)
+    d.qpos[:], d.qvel[:], d.ctrl[:] = qpos, qvel, ctrl
+    for _ in range(5):
+        mj.mj_step(m, d)
+    st = pipeline.make_state(sys).replace(qpos=jnp.array(qpos), qvel=jnp.array(qvel))
+    st = pipeline.step(sys, st, jnp.array(ctrl), 5)
+    np.testing.assert_allclose(np.asarray(st.qpos), d.qpos, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st.qvel), d.qvel, atol=1e-12)
+
+
+def test_grounded_step_close(ctx):
+    """Grounded single-step parity within the documented PGS-ordering
+    transient bound (see physics/solver.py docstring)."""
+    m, d, sys = ctx
+    m.opt.noslip_iterations = 4
+    for seed in range(3, 10):
+        qpos, qvel, ctrl = settled_state(m, d, seed=seed, steps=200)
+        mj.mj_forward(m, d)
+        if d.ncon > 0:
+            break
+    assert d.ncon > 0
+    sysP = inject_their_contacts(sys, m, d)
+    d.qpos[:], d.qvel[:], d.ctrl[:] = qpos, qvel, ctrl
+    mj.mj_step(m, d)
+    st = pipeline.make_state(sysP).replace(qpos=jnp.array(qpos), qvel=jnp.array(qvel))
+    st = pipeline.step(sysP, st, jnp.array(ctrl), 1)
+    np.testing.assert_allclose(np.asarray(st.qpos), d.qpos, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(st.qvel), d.qvel, atol=0.5)
