@@ -19,7 +19,7 @@ from nightmare_rl_tpu.core.config import EnvCfg, NightmareV3Cfg
 from nightmare_rl_tpu.envs.nightmare_v3 import NightmareV3Env
 
 NUM_ENVS = 4096
-STEPS = 50
+STEPS = 20
 BASELINE_PHYS_STEPS_PER_S = 71_308.0
 
 
@@ -42,13 +42,14 @@ def main() -> None:
         (state, key), rew = jax.lax.scan(body, (state, key), None, length=STEPS)
         return state, key, rew.sum()
 
-    # warmup / compile
-    state, key, _ = rollout(state, key)
-    jax.block_until_ready(state.phys.qpos)
+    # warmup / compile; NB force a scalar fetch — block_until_ready does not
+    # reliably block on the axon platform
+    state, key, r = rollout(state, key)
+    float(r)
 
     t0 = time.perf_counter()
     state, key, r = rollout(state, key)
-    jax.block_until_ready(state.phys.qpos)
+    float(r)
     wall = time.perf_counter() - t0
 
     env_steps = NUM_ENVS * STEPS

@@ -147,6 +147,10 @@ class SolverCfg:
 
     iterations: Optional[int] = None
     noslip_iterations: Optional[int] = None
+    # top-K deepest candidate contact points entering the solver per step
+    # (-1 = all).  16 comfortably covers walking (≤7 simultaneous contacts
+    # observed) while cutting the solve to fixed small shapes.
+    max_contacts: int = 16
 
 
 @dataclass(frozen=True)

@@ -89,15 +89,16 @@ class NightmareV3Env:
         self.cfg = cfg
         if sys is None:
             sys = loader.load_system(cfg.env.model_name)
+        import dataclasses
+
         sys = S.tree_cast(sys, dtype)
         if cfg.solver.iterations is not None:
-            import dataclasses
             sys = dataclasses.replace(sys, solver_iterations=cfg.solver.iterations)
         if cfg.solver.noslip_iterations is not None:
-            import dataclasses
             sys = dataclasses.replace(
                 sys, noslip_iterations=cfg.solver.noslip_iterations
             )
+        sys = dataclasses.replace(sys, max_contacts=cfg.solver.max_contacts)
         self.sys = sys
         self.dtype = dtype
 

@@ -29,8 +29,10 @@ class Contacts(NamedTuple):
     pos: jnp.ndarray     # (ncp, 3) world contact point
     dist: jnp.ndarray    # (ncp,) signed distance (negative = penetrating)
     active: jnp.ndarray  # (ncp,) bool
-    jac: jnp.ndarray     # (ncp, 3, nv) translational jacobian at the contact
-                         # point, rows = world (x, y, z) axes
+    jac: jnp.ndarray     # (ncp, nv, 3) translational jacobian at the contact
+                         # point, last axis = world (x, y, z) components
+                         # (kept dof-major to avoid minor-dim transposes,
+                         # which are pathological on this TPU stack)
 
 
 def find_contacts(sys: S.System, kin: KinOut) -> Contacts:
@@ -40,11 +42,13 @@ def find_contacts(sys: S.System, kin: KinOut) -> Contacts:
         jnp.asarray([root[b] for b in sys.cpoint_bodyid], dtype=jnp.int32)
     ]
 
-    pos = kin.xpos[body] + Q.rotate(sys.cpoint_pos, kin.xquat[body])  # (ncp,3)
-    dist = pos[:, 2]
+    center = kin.xpos[body] + Q.rotate(sys.cpoint_pos, kin.xquat[body])  # (ncp,3)
+    r = jnp.asarray(sys.cpoint_radius)
+    dist = center[:, 2] - r
     active = dist < 0.0
 
     # MuJoCo places the contact at mid-penetration along the normal
+    pos = center.at[:, 2].add(-r)
     mid = pos.at[:, 2].set(jnp.minimum(dist, 0.0) * 0.5)
 
     # point jacobian: Jp[:, d] = cdof_lin[d] + cdof_ang[d] × (p - com_origin),
@@ -54,5 +58,4 @@ def find_contacts(sys: S.System, kin: KinOut) -> Contacts:
     lin = kin.cdof[None, :, 3:]                        # (1, nv, 3)
     jac = lin + jnp.cross(ang, r)                      # (ncp, nv, 3)
     mask = jnp.asarray(sys.body_dof_mask)[body][..., None]  # (ncp, nv, 1)
-    jac = (jac * mask).swapaxes(-1, -2)                # (ncp, 3, nv)
-    return Contacts(pos, dist, active, jac)
+    return Contacts(pos, dist, active, jac * mask)

@@ -131,6 +131,7 @@ def system_from_mjmodel(m, max_points_per_geom=8, dtype=np.float64) -> S.System:
     # ---- candidate contact points from collision-enabled geoms ----
     cp_body: List[int] = []
     cp_pos: List[np.ndarray] = []
+    cp_rad: List[float] = []
     cp_mu: List[float] = []
     cp_solref: List[np.ndarray] = []
     cp_solimp: List[np.ndarray] = []
@@ -138,35 +139,49 @@ def system_from_mjmodel(m, max_points_per_geom=8, dtype=np.float64) -> S.System:
         if g == plane_id or not _collides_with_plane(m, g, plane_id):
             continue
         body = int(m.geom_bodyid[g])
+        radius = 0.0
         if m.geom_type[g] == mj.mjtGeom.mjGEOM_MESH:
             pts = _mesh_support_points(
                 m, g, _max_points(max_points_per_geom, m.geom(g).name)
             )
         elif m.geom_type[g] == mj.mjtGeom.mjGEOM_SPHERE:
-            # sphere: its center (radius handled as point offset at runtime is
-            # overkill here; bake the lowest point for a plane world)
-            pts = m.geom_pos[g][None] + np.array([[0, 0, -m.geom_size[g, 0]]])
-        else:
-            # fall back to the geom center
             pts = m.geom_pos[g][None]
-        # pair parameters with the plane: both geoms share defaults here; use
-        # the max-friction / mix rules MuJoCo applies for equal priority
-        mu = float(max(m.geom_friction[g, 0], m.geom_friction[plane_id, 0]))
-        solref = np.minimum(m.geom_solref[g], m.geom_solref[plane_id]) * 0 + (
-            (m.geom_solref[g] + m.geom_solref[plane_id]) / 2
-        )
-        solimp = (m.geom_solimp[g] + m.geom_solimp[plane_id]) / 2
+            radius = float(m.geom_size[g, 0])
+        elif m.geom_type[g] in (
+            mj.mjtGeom.mjGEOM_CAPSULE, mj.mjtGeom.mjGEOM_CYLINDER
+        ):
+            # endpoints of the axis (local z), radius = cross-section
+            R = _quat_mat(m.geom_quat[g])
+            half = m.geom_size[g, 1] * R[:, 2]
+            pts = np.stack([m.geom_pos[g] - half, m.geom_pos[g] + half])
+            radius = float(m.geom_size[g, 0])
+        else:
+            pts = m.geom_pos[g][None]
+        # pair parameters with the plane: MuJoCo takes the higher-priority
+        # geom's values outright, else mixes (mean for equal solmix, max
+        # friction)
+        if m.geom_priority[g] != m.geom_priority[plane_id]:
+            src = g if m.geom_priority[g] > m.geom_priority[plane_id] else plane_id
+            mu = float(m.geom_friction[src, 0])
+            solref = m.geom_solref[src].copy()
+            solimp = m.geom_solimp[src].copy()
+        else:
+            mu = float(max(m.geom_friction[g, 0], m.geom_friction[plane_id, 0]))
+            solref = (m.geom_solref[g] + m.geom_solref[plane_id]) / 2
+            solimp = (m.geom_solimp[g] + m.geom_solimp[plane_id]) / 2
         for p in pts:
             cp_body.append(body)
-            cp_pos.append(p)
+            cp_pos.append(np.asarray(p, dtype=np.float64))
+            cp_rad.append(radius)
             cp_mu.append(mu)
-            cp_solref.append(solref.copy())
-            cp_solimp.append(solimp.copy())
+            cp_solref.append(np.asarray(solref, dtype=np.float64))
+            cp_solimp.append(np.asarray(solimp, dtype=np.float64))
 
     # order: by body id (matches MuJoCo's pair traversal order vs the plane)
     order = np.argsort(np.array(cp_body), kind="stable")
     cp_body = [cp_body[i] for i in order]
     cp_pos = [cp_pos[i] for i in order]
+    cp_rad = [cp_rad[i] for i in order]
     cp_mu = [cp_mu[i] for i in order]
     cp_solref = [cp_solref[i] for i in order]
     cp_solimp = [cp_solimp[i] for i in order]
@@ -176,7 +191,28 @@ def system_from_mjmodel(m, max_points_per_geom=8, dtype=np.float64) -> S.System:
     touch_sensors = [
         i for i in range(m.nsensor) if m.sensor_type[i] == mj.mjtSensor.mjSENS_TOUCH
     ]
-    sensor_matrix = np.zeros((m.nsensor, ncp))
+    nsensor = m.nsensor
+    if not touch_sensors and ncp:
+        # models without touch sensors (anymal_c): synthesize one per
+        # plane-colliding sphere geom (the feet) so envs can read foot
+        # contact forces uniformly through sensordata
+        sphere_bodies = sorted(
+            {
+                int(m.geom_bodyid[g])
+                for g in range(m.ngeom)
+                if g != plane_id
+                and m.geom_type[g] == mj.mjtGeom.mjGEOM_SPHERE
+                and _collides_with_plane(m, g, plane_id)
+            }
+        )
+        nsensor = len(sphere_bodies)
+        sensor_matrix = np.zeros((nsensor, ncp))
+        for si, b in enumerate(sphere_bodies):
+            for k in range(ncp):
+                if cp_body[k] == b and cp_rad[k] > 0:
+                    sensor_matrix[si, k] = 1.0
+    else:
+        sensor_matrix = np.zeros((m.nsensor, ncp))
     for si in touch_sensors:
         site = int(m.sensor_objid[si])
         sbody = int(m.site_bodyid[site])
@@ -210,7 +246,7 @@ def system_from_mjmodel(m, max_points_per_geom=8, dtype=np.float64) -> S.System:
         nbody=int(m.nbody),
         njnt=int(m.njnt),
         nsite=int(m.nsite),
-        nsensor=int(m.nsensor),
+        nsensor=int(nsensor),
         ncp=ncp,
         body_parent=tuple(int(x) for x in m.body_parentid),
         body_jntadr=tuple(int(x) for x in m.body_jntadr),
@@ -230,6 +266,9 @@ def system_from_mjmodel(m, max_points_per_geom=8, dtype=np.float64) -> S.System:
         integrator=integ,
         solver_iterations=int(m.opt.iterations),
         noslip_iterations=int(m.opt.noslip_iterations),
+        eulerdamp=not bool(
+            m.opt.disableflags & mj.mjtDisableBit.mjDSBL_EULERDAMP
+        ),
         body_pos=f(m.body_pos),
         body_quat=f(m.body_quat),
         body_ipos=f(m.body_ipos),
@@ -241,6 +280,10 @@ def system_from_mjmodel(m, max_points_per_geom=8, dtype=np.float64) -> S.System:
         jnt_pos=f(m.jnt_pos),
         jnt_range=f(m.jnt_range),
         jnt_limited=np.asarray(m.jnt_limited, dtype=bool),
+        jnt_solref=f(m.jnt_solref),
+        jnt_solimp=f(m.jnt_solimp),
+        dof_solref=f(m.dof_solref),
+        dof_solimp=f(m.dof_solimp),
         dof_damping=f(m.dof_damping),
         dof_armature=f(m.dof_armature),
         dof_frictionloss=f(m.dof_frictionloss),
@@ -256,6 +299,7 @@ def system_from_mjmodel(m, max_points_per_geom=8, dtype=np.float64) -> S.System:
         site_pos=f(m.site_pos),
         site_quat=f(m.site_quat),
         cpoint_pos=f(np.array(cp_pos)) if ncp else f(np.zeros((0, 3))),
+        cpoint_radius=f(np.array(cp_rad)),
         cpoint_friction=f(np.array(cp_mu)),
         cpoint_solref=f(np.array(cp_solref)),
         cpoint_solimp=f(np.array(cp_solimp)),
@@ -309,7 +353,7 @@ _STATIC_FIELDS = [
     "body_parent", "body_jntadr", "body_jntnum", "jnt_type", "jnt_bodyid",
     "jnt_qposadr", "jnt_dofadr", "dof_bodyid", "actuator_trnid",
     "site_bodyid", "cpoint_bodyid", "cpoint_sensor", "integrator",
-    "solver_iterations", "noslip_iterations",
+    "solver_iterations", "noslip_iterations", "max_contacts", "eulerdamp",
 ]
 
 

@@ -15,6 +15,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nightmare_rl_tpu.core import quat as Q
 from nightmare_rl_tpu.physics import collision, dynamics, kinematics, solver
@@ -29,8 +30,7 @@ class ForwardOut(NamedTuple):
     qfrc_smooth: jnp.ndarray
     qacc_smooth: jnp.ndarray
     con: collision.Contacts
-    efc: solver.Efc
-    sol: solver.SolveOut
+    sol: solver.ContactSolveOut
     act: dynamics.ActOut
     sensordata: jnp.ndarray
 
@@ -68,15 +68,13 @@ def forward(sys: S.System, state: S.State, ctrl: jnp.ndarray) -> ForwardOut:
     qacc_smooth = jax.scipy.linalg.cho_solve((M_chol, True), qfrc_smooth)
 
     con = collision.find_contacts(sys, kin)
-    efc = solver.make_efc(sys, con, qvel)
-    sol = solver.solve(sys, efc, M_chol, qacc_smooth)
+    sol = solver.solve_contacts(sys, con, qpos, qvel, M_chol, qacc_smooth)
 
     # touch sensors: per-contact normal force = Σ pyramid facet forces
-    nforce = sol.force.reshape(sys.ncp, 4).sum(axis=1)
-    sensordata = sys.sensor_cpoint_matrix @ nforce
+    sensordata = sys.sensor_cpoint_matrix @ sol.nforce
 
     return ForwardOut(
-        kin, vel, M, M_chol, qfrc_smooth, qacc_smooth, con, efc, sol, act,
+        kin, vel, M, M_chol, qfrc_smooth, qacc_smooth, con, sol, act,
         sensordata,
     )
 
@@ -115,10 +113,19 @@ def step(sys: S.System, state: S.State, ctrl: jnp.ndarray, n_steps: int = 1) -> 
             qacc = jax.scipy.linalg.cho_solve(
                 (Lhat, True), fwd.qfrc_smooth + fwd.sol.qfrc_constraint
             )
+            qvel = state.qvel + dt * qacc
+        elif sys.eulerdamp and bool(np.any(np.asarray(sys.dof_damping) > 0)):
+            # mj_Euler with implicit joint damping:
+            # (M + h·diag(B)) v⁺ = M v + h·qfrc_total
+            MhB = fwd.M + dt * jnp.diag(sys.dof_damping)
+            rhs = fwd.M @ state.qvel + dt * (
+                fwd.qfrc_smooth + fwd.sol.qfrc_constraint
+            )
+            qvel = jax.scipy.linalg.cho_solve(
+                (jnp.linalg.cholesky(MhB), True), rhs
+            )
         else:
-            qacc = fwd.sol.qacc
-
-        qvel = state.qvel + dt * qacc
+            qvel = state.qvel + dt * fwd.sol.qacc
         qpos = _integrate_pos(sys, state.qpos, qvel, dt)
 
         new = state.replace(

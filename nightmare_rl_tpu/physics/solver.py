@@ -2,45 +2,46 @@
 
 Replicates the PGS path selected by the nightmare model
 (models/nightmare_v3/mjmodel.xml:3 — solver="PGS", iterations=3,
-noslip_iterations=4) as a fixed-shape JAX program:
+noslip_iterations=4) as a fixed-shape JAX program, generalized to the three
+constraint families the supported robots need:
 
-- pyramidal friction cone, condim 3 → 4 facet rows per contact with
-  J_row = Jn ± μ·Jt_i, force ≥ 0;
-- Baumgarte-style reference acceleration from solref/solimp
-  (aref = -B·(J·qvel) - K·imp·pos with K = imp/(dmax·tc·dr)², B = 2/(dmax·tc));
-- regularization R = (1-imp)/imp · 2(1+μ²) · (invweight[b1]+invweight[b2]);
-- projected Gauss-Seidel on the dual from a zero start (MuJoCo's PGS ignores
-  qacc_warmstart — verified empirically), fixed iteration count;
-- noslip: extra Gauss-Seidel on tangent *pairs* with zero regularization,
-  holding each pair's normal contribution (f⁺+f⁻) fixed — reproduces
-  MuJoCo's noslip pass to 1e-9.
+- dof friction rows (|f| ≤ frictionloss — anymal_c joints);
+- joint limit rows (two one-sided rows per limited joint);
+- pyramidal contact rows (condim 3 → 4 facets, J = Jn ± μ·Jt_i, f ≥ 0).
 
-All formulas verified numerically against mjData.efc_* on the reference model
-(see tests/test_solver.py).  Known deviation: MuJoCo's PGS processes rows in
-an internal pseudo-random per-sweep order; we use fixed ascending order.  Both
-iterate the same updates toward the same KKT point of the same QP, so the
-difference is a pre-convergence transient only.  Inactive candidate contacts
-stay in the system with forces pinned to zero, keeping shapes static under
-jit.
+Row order matches MuJoCo: friction, limits, contacts.  Common machinery:
+Baumgarte-style reference acceleration from solref/solimp
+(aref = -B·(J·qvel) - K·imp·pos with K = imp/(dmax·tc·dr)², B = 2/(dmax·tc)),
+regularization R = (1-imp)/imp · diagApprox (contacts: 2(1+μ²)·Σinvweight;
+dof rows: dof_invweight0), and a projected Gauss-Seidel on the dual with
+box bounds [lo, hi] per row, then the noslip pass on contact tangent pairs.
+
+Contact formulas are verified numerically against mjData.efc_* on the
+reference model (tests/test_solver.py).  Known deviation: MuJoCo's PGS
+processes rows in an internal pseudo-random per-sweep order; we use fixed
+ascending order (pre-convergence transient only — see PARITY.md).  Inactive
+candidate rows stay in the system with bounds pinned to [0, 0], keeping
+shapes static under jit.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nightmare_rl_tpu.physics import system as S
 from nightmare_rl_tpu.physics.collision import Contacts
 
 
 class Efc(NamedTuple):
-    J: jnp.ndarray       # (nefc, nv) constraint jacobian (pyramid facets)
+    J: jnp.ndarray       # (nefc, nv) constraint jacobian
     aref: jnp.ndarray    # (nefc,)
     R: jnp.ndarray       # (nefc,) regularization
-    active: jnp.ndarray  # (nefc,) bool
-    mu: jnp.ndarray      # (ncp,)
+    lo: jnp.ndarray      # (nefc,) force lower bound (0 for inactive rows)
+    hi: jnp.ndarray      # (nefc,) force upper bound (0 for inactive rows)
 
 
 def impedance(solimp: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
@@ -57,45 +58,117 @@ def impedance(solimp: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     return d0 + y * (dmax - d0)
 
 
-def make_efc(sys: S.System, con: Contacts, qvel: jnp.ndarray) -> Efc:
+def _kb(solref, solimp):
+    """Stiffness/damping from solref (standard positive convention;
+    direct negative convention = (-K, -B))."""
+    tc, dr = solref[..., 0], solref[..., 1]
+    dmax = solimp[..., 1]
+    K = jnp.where(tc > 0, 1.0 / jnp.maximum(dmax * tc * dr, 1e-12) ** 2, -tc)
+    B = jnp.where(tc > 0, 2.0 / jnp.maximum(dmax * tc, 1e-12), -dr)
+    return K, B
+
+
+def make_efc(sys: S.System, con: Contacts, qvel: jnp.ndarray, iw=None) -> Efc:
     """Assemble pyramidal contact constraint rows."""
     mu = sys.cpoint_friction                       # (ncp,)
-    Jn = con.jac[:, 2, :]                          # (ncp, nv)
+    Jn = con.jac[..., 2]                           # (ncp, nv)
     # mju_makeFrame for n=+z: t1 = (0,1,0), t2 = (-1,0,0)
-    Jt1 = con.jac[:, 1, :]
-    Jt2 = -con.jac[:, 0, :]
+    Jt1 = con.jac[..., 1]
+    Jt2 = -con.jac[..., 0]
     m = mu[:, None]
     J = jnp.stack(
         [Jn + m * Jt1, Jn - m * Jt1, Jn + m * Jt2, Jn - m * Jt2], axis=1
     )                                              # (ncp, 4, nv)
 
     imp = impedance(sys.cpoint_solimp, con.dist)   # (ncp,)
-    tc, dr = sys.cpoint_solref[:, 0], sys.cpoint_solref[:, 1]
-    dmax = sys.cpoint_solimp[:, 1]
-    # standard (positive) solref convention; direct (negative) = (-k, -b)
-    K = jnp.where(tc > 0, 1.0 / jnp.maximum(dmax * tc * dr, 1e-12) ** 2, -tc)
-    B = jnp.where(tc > 0, 2.0 / jnp.maximum(dmax * tc, 1e-12), -dr)
+    K, B = _kb(sys.cpoint_solref, sys.cpoint_solimp)
 
     vel = jnp.einsum("cfn,n->cf", J, qvel)         # (ncp, 4)
     aref = -B[:, None] * vel - (K * imp * con.dist)[:, None]
 
-    iw = jnp.asarray(sys.body_invweight)[jnp.array(sys.cpoint_bodyid), 0]  # world side is 0
+    if iw is None:  # world side contributes 0 invweight
+        iw = jnp.asarray(sys.body_invweight)[
+            jnp.asarray(sys.cpoint_bodyid, dtype=jnp.int32), 0
+        ]
     R = (1.0 - imp) / jnp.maximum(imp, 1e-12) * 2.0 * (1.0 + mu**2) * iw
     R = jnp.maximum(R, 1e-12)
 
-    nefc = sys.ncp * 4
+    nefc = J.shape[0] * 4
     active = jnp.repeat(con.active, 4)
+    dtype = J.dtype
     return Efc(
         J.reshape(nefc, sys.nv),
         aref.reshape(nefc),
         jnp.repeat(R, 4),
-        active,
-        mu,
+        jnp.zeros(nefc, dtype),
+        jnp.where(active, jnp.inf, 0.0).astype(dtype),
     )
 
 
+def make_dof_efc(sys: S.System, qpos: jnp.ndarray,
+                 qvel: jnp.ndarray) -> Optional[Efc]:
+    """Dof-friction and joint-limit rows (row order: friction, then limits —
+    MuJoCo's efc layout).  Returns None when the model has neither."""
+    dtype = qvel.dtype
+    fl = np.asarray(sys.dof_frictionloss)
+    fric_dofs = np.nonzero(fl > 0)[0]
+    lim_jnts = [
+        j for j in range(sys.njnt)
+        if bool(np.asarray(sys.jnt_limited)[j]) and sys.jnt_type[j] == S.HINGE
+    ]
+    if len(fric_dofs) == 0 and len(lim_jnts) == 0:
+        return None
+
+    rows = []
+    eye = jnp.eye(sys.nv, dtype=dtype)
+    if len(fric_dofs) > 0:
+        d = jnp.asarray(fric_dofs)
+        J = eye[d]
+        solref = jnp.asarray(sys.dof_solref)[d]
+        solimp = jnp.asarray(sys.dof_solimp)[d]
+        K, B = _kb(solref, solimp)
+        imp = solimp[:, 0]  # impedance at pos = 0
+        aref = -B * qvel[d]
+        R = jnp.maximum(
+            (1.0 - imp) / jnp.maximum(imp, 1e-12)
+            * jnp.asarray(sys.dof_invweight)[d],
+            1e-12,
+        )
+        flv = jnp.asarray(fl[fric_dofs], dtype=dtype)
+        rows.append(Efc(J, aref, R, -flv, flv))
+
+    if len(lim_jnts) > 0:
+        dofs = np.array([sys.jnt_dofadr[j] for j in lim_jnts])
+        qadr = np.array([sys.jnt_qposadr[j] for j in lim_jnts])
+        rng = jnp.asarray(sys.jnt_range)[jnp.asarray(lim_jnts)]
+        solref = jnp.asarray(sys.jnt_solref)[jnp.asarray(lim_jnts)]
+        solimp = jnp.asarray(sys.jnt_solimp)[jnp.asarray(lim_jnts)]
+        q = qpos[qadr]
+        v = qvel[dofs]
+        Jbase = eye[jnp.asarray(dofs)]
+        # lower: dist = q - lo, J = +e; upper: dist = hi - q, J = -e
+        for sign, dist in ((1.0, q - rng[:, 0]), (-1.0, rng[:, 1] - q)):
+            imp = impedance(solimp, dist)
+            K, B = _kb(solref, solimp)
+            J = sign * Jbase
+            aref = -B * (sign * v) - K * imp * jnp.minimum(dist, 0.0)
+            R = jnp.maximum(
+                (1.0 - imp) / jnp.maximum(imp, 1e-12)
+                * jnp.asarray(sys.dof_invweight)[jnp.asarray(dofs)],
+                1e-12,
+            )
+            active = dist < 0.0
+            rows.append(
+                Efc(J, aref, R, jnp.zeros_like(aref),
+                    jnp.where(active, jnp.inf, 0.0).astype(dtype))
+            )
+
+    return Efc(*[jnp.concatenate([getattr(r, f) for r in rows])
+                 for f in Efc._fields])
+
+
 class SolveOut(NamedTuple):
-    force: jnp.ndarray            # (nefc,) pyramid facet forces
+    force: jnp.ndarray            # (nefc,) constraint forces
     qfrc_constraint: jnp.ndarray  # (nv,)
     qacc: jnp.ndarray             # (nv,) constrained acceleration
 
@@ -105,62 +178,102 @@ def solve(
     efc: Efc,
     M_chol: jnp.ndarray,
     qacc_smooth: jnp.ndarray,
+    ns_offset: int = 0,
 ) -> SolveOut:
-    """Dual PGS (zero start) with fixed sweeps, then noslip."""
-    nefc = efc.J.shape[0]
+    """Dual box-PGS (zero start) with fixed sweeps, then noslip on the
+    contact tangent pairs starting at row ns_offset.
 
-    # A = J M⁻¹ Jᵀ ; rows/cols of inactive constraints are irrelevant (forces 0)
-    MinvJT = jax.scipy.linalg.cho_solve((M_chol, True), efc.J.T)  # (nv, nefc)
-    A = efc.J @ MinvJT                                            # (nefc, nefc)
-    Ar = A + jnp.diag(efc.R)
-    diag = jnp.diag(Ar)
+    The iteration itself lives in ops/pgs.py: a lax.scan reference for
+    unbatched callers that upgrades to the fused Pallas TPU kernel under vmap
+    (one kernel launch for the whole env batch, all sweeps in VMEM)."""
+    from nightmare_rl_tpu.ops.pgs import pgs_core
 
+    # A = J M⁻¹ Jᵀ, formulated transpose-free (einsum contractions on
+    # trailing dims): minor-dim transposes are pathological on this TPU stack.
+    nv = efc.J.shape[1]
+    Minv = jax.scipy.linalg.cho_solve(
+        (M_chol, True), jnp.eye(nv, dtype=efc.J.dtype)
+    )
+    JMinv = efc.J @ Minv                                     # (nefc, nv)
+    A = jnp.einsum("ik,jk->ij", JMinv, efc.J)                # (nefc, nefc)
     b = efc.J @ qacc_smooth - efc.aref
 
-    f0 = jnp.zeros(nefc, dtype=efc.J.dtype)
-    inv_diag = 1.0 / jnp.maximum(diag, 1e-12)
+    core = pgs_core(sys.solver_iterations, sys.noslip_iterations, ns_offset)
+    f = core(A, b, efc.R, efc.lo, efc.hi)
 
-    def gs_row(r, f):
-        grad = Ar[r] @ f + b[r]
-        new = jnp.maximum(0.0, f[r] - grad * inv_diag[r])
-        new = jnp.where(efc.active[r], new, 0.0)
-        return f.at[r].set(new)
-
-    def sweep(_, f):
-        return jax.lax.fori_loop(0, nefc, gs_row, f)
-
-    f = jax.lax.fori_loop(0, sys.solver_iterations, sweep, f0)
-
-    # ---- noslip: drive tangential velocity to zero, no regularization ----
-    # pyramid facets come in ± pairs (0,1)=t1, (2,3)=t2 per contact; update the
-    # antisymmetric part y=(f⁺-f⁻)/2 with s=f⁺+f⁻ fixed ⇒ |y| ≤ s/2.
-    if sys.noslip_iterations > 0:
-        ncp = sys.ncp
-        A_ns = A  # no regularization in the noslip pass
-        bsm = b
-
-        def ns_pair(carry, idx):
-            f = carry
-            c, t = idx // 2, idx % 2
-            i = c * 4 + 2 * t
-            jpair = i + 1
-            s = f[i] + f[jpair]
-            # gradient of ½fᵀAf + bᵀf along direction e_i - e_j at current f
-            g = (A_ns[i] - A_ns[jpair]) @ f + (bsm[i] - bsm[jpair])
-            h = A_ns[i, i] + A_ns[jpair, jpair] - 2.0 * A_ns[i, jpair]
-            y = 0.5 * (f[i] - f[jpair]) - g / jnp.maximum(h, 1e-12)
-            y = jnp.clip(y, -0.5 * s, 0.5 * s)
-            ok = efc.active[i]
-            fi = jnp.where(ok, 0.5 * s + y, f[i])
-            fj = jnp.where(ok, 0.5 * s - y, f[jpair])
-            return f.at[i].set(fi).at[jpair].set(fj), None
-
-        def ns_sweep(_, f):
-            f, _ = jax.lax.scan(ns_pair, f, jnp.arange(2 * ncp))
-            return f
-
-        f = jax.lax.fori_loop(0, sys.noslip_iterations, ns_sweep, f)
-
-    qfrc = efc.J.T @ f
-    qacc = qacc_smooth + MinvJT @ f
+    qfrc = jnp.einsum("kn,k->n", efc.J, f)
+    qacc = qacc_smooth + Minv @ qfrc
     return SolveOut(f, qfrc, qacc)
+
+
+class ContactSolveOut(NamedTuple):
+    nforce: jnp.ndarray           # (ncp,) normal force per candidate point
+    qfrc_constraint: jnp.ndarray  # (nv,)
+    qacc: jnp.ndarray             # (nv,)
+
+
+def solve_contacts(
+    sys: S.System,
+    con,
+    qpos: jnp.ndarray,
+    qvel: jnp.ndarray,
+    M_chol: jnp.ndarray,
+    qacc_smooth: jnp.ndarray,
+) -> ContactSolveOut:
+    """Full constraint solve: dof friction + joint limits + contacts, with
+    optional top-K contact candidate selection.
+
+    With ``sys.max_contacts = K > 0`` only the K deepest candidate points
+    enter the constraint system (MuJoCo instantiates only detected contacts;
+    this is the static-shape analog).  Forces are scattered back to the full
+    candidate set for the touch sensors.
+    """
+    import dataclasses
+
+    K = sys.max_contacts
+    if K <= 0 or K >= sys.ncp:
+        efc_c = make_efc(sys, con, qvel)
+        sel = None
+        ncp_sel = sys.ncp
+    else:
+        _, sel = jax.lax.top_k(-con.dist, K)
+        sub = type(con)(
+            pos=con.pos[sel],
+            dist=con.dist[sel],
+            active=con.active[sel],
+            jac=con.jac[sel],
+        )
+        sub_sys = dataclasses.replace(
+            sys,
+            cpoint_friction=jnp.asarray(sys.cpoint_friction)[sel],
+            cpoint_radius=jnp.asarray(sys.cpoint_radius)[sel],
+            cpoint_solref=jnp.asarray(sys.cpoint_solref)[sel],
+            cpoint_solimp=jnp.asarray(sys.cpoint_solimp)[sel],
+            ncp=K,
+            cpoint_bodyid=sys.cpoint_bodyid[:K],  # unused: iw passed explicitly
+        )
+        iw_full = jnp.asarray(sys.body_invweight)[
+            jnp.asarray(sys.cpoint_bodyid, dtype=jnp.int32), 0
+        ]
+        efc_c = make_efc(sub_sys, sub, qvel, iw=iw_full[sel])
+        ncp_sel = K
+
+    efc_d = make_dof_efc(sys, qpos, qvel)
+    if efc_d is not None:
+        ns_offset = efc_d.J.shape[0]
+        efc = Efc(*[jnp.concatenate([getattr(efc_d, f), getattr(efc_c, f)])
+                    for f in Efc._fields])
+    else:
+        ns_offset = 0
+        efc = efc_c
+
+    sol = solve(sys, efc, M_chol, qacc_smooth, ns_offset=ns_offset)
+    fc = sol.force[ns_offset:]
+    nforce_sel = fc.reshape(ncp_sel, 4).sum(axis=1)
+    if sel is None:
+        nforce = nforce_sel
+    else:
+        nforce = jnp.zeros(sys.ncp, dtype=nforce_sel.dtype).at[sel].set(
+            nforce_sel
+        )
+    return ContactSolveOut(nforce, sol.qfrc_constraint, sol.qacc)

@@ -79,6 +79,10 @@ class System:
     jnt_pos: jnp.ndarray       # (njnt, 3)
     jnt_range: jnp.ndarray     # (njnt, 2)
     jnt_limited: jnp.ndarray   # (njnt,) bool
+    jnt_solref: jnp.ndarray    # (njnt, 2) limit-constraint solref
+    jnt_solimp: jnp.ndarray    # (njnt, 5)
+    dof_solref: jnp.ndarray    # (nv, 2) dof-friction solref
+    dof_solimp: jnp.ndarray    # (nv, 5)
     dof_damping: jnp.ndarray   # (nv,)
     dof_armature: jnp.ndarray  # (nv,)
     dof_frictionloss: jnp.ndarray  # (nv,)
@@ -95,8 +99,10 @@ class System:
     # sites
     site_pos: jnp.ndarray      # (nsite, 3)
     site_quat: jnp.ndarray     # (nsite, 4)
-    # contact points
+    # contact points (spheres of radius cpoint_radius; mesh support vertices
+    # have radius 0)
     cpoint_pos: jnp.ndarray    # (ncp, 3) body frame
+    cpoint_radius: jnp.ndarray  # (ncp,)
     cpoint_friction: jnp.ndarray  # (ncp,) tangential mu
     cpoint_solref: jnp.ndarray    # (ncp, 2)
     cpoint_solimp: jnp.ndarray    # (ncp, 5)
@@ -113,6 +119,13 @@ class System:
     # ancestor masks, precomputed from topology (constants, not traced state)
     dof_ancestor_mask: jnp.ndarray  # (nv, nv) 1 where dof i on path of dof j (or equal)
     body_dof_mask: jnp.ndarray      # (nbody, nv) 1 where dof d on path root->body
+
+    # top-K contact selection: only the K deepest candidate points enter the
+    # solver each step (-1 = all).  MuJoCo instantiates only detected
+    # contacts; this is the fixed-shape equivalent.  (Last: has a default.)
+    max_contacts: int = _static(default=-1)
+    # Euler integrator: implicit joint damping (mjDSBL_EULERDAMP clears it)
+    eulerdamp: bool = _static(default=True)
 
     @property
     def dtype(self):

@@ -26,6 +26,9 @@ _DEFAULT_MODELS = {
         "/root/reference/models/nightmare_v3/mjmodel_mjx.xml",
         {"base_link": 10, "*": 5},
     ),
+    # quadruped morphology (BASELINE config 4); primitive collision geoms
+    # (sphere feet + cylinder/box shells) — no mesh support points needed
+    "anymal_c": ("/root/reference/models/anymal_c/scene.xml", {"*": 4}),
 }
 
 _ASSET_DIR = os.path.join(os.path.dirname(__file__), "..", "assets")

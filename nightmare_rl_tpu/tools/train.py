@@ -24,20 +24,29 @@ def main() -> None:
     p.add_argument("-p", "--resume_path", type=str, default=None)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--mesh", action="store_true", help="shard envs over all devices")
-    p.add_argument("--log_root", type=str, default="logs/nightmare_v3")
+    p.add_argument("--robot", type=str, default="nightmare_v3",
+                   choices=["nightmare_v3", "anymal_c"])
+    p.add_argument("--log_root", type=str, default=None)
     args = p.parse_args()
 
     from nightmare_rl_tpu.core.config import EnvCfg, NightmareV3Cfg, PPOCfg
-    from nightmare_rl_tpu.envs.nightmare_v3 import NightmareV3Env
     from nightmare_rl_tpu.rl.runner import OnPolicyRunner, get_load_path
 
-    log_dir = os.path.join(args.log_root, str(datetime.datetime.now()))
+    log_root = args.log_root or os.path.join("logs", args.robot)
+    log_dir = os.path.join(log_root, str(datetime.datetime.now()))
     print(f"Logging to {log_dir}")
 
-    cfg = NightmareV3Cfg().replace(env=EnvCfg(num_envs=args.num_envs))
     pcfg = PPOCfg().replace(seed=args.seed)
 
-    env = NightmareV3Env(cfg)
+    if args.robot == "anymal_c":
+        from nightmare_rl_tpu.envs.anymal_c import AnymalCCfg, AnymalCEnv
+
+        env = AnymalCEnv(AnymalCCfg(num_envs=args.num_envs))
+    else:
+        from nightmare_rl_tpu.envs.nightmare_v3 import NightmareV3Env
+
+        cfg = NightmareV3Cfg().replace(env=EnvCfg(num_envs=args.num_envs))
+        env = NightmareV3Env(cfg)
 
     if args.mesh:
         import jax
@@ -65,7 +74,7 @@ def main() -> None:
     runner = OnPolicyRunner(env, pcfg, log_dir=log_dir)
     runner.init(args.seed)
     if args.resume:
-        root = args.resume_path if args.resume_path else args.log_root
+        root = args.resume_path if args.resume_path else log_root
         path = get_load_path(root)
         print(f"Loading model from: {path}")
         runner.load(path)

@@ -54,6 +54,7 @@ for c in d.contact[:ncon]:
 ncp = len(cp_body)
 sysP = sys0.replace(
     cpoint_pos=jnp.array(cp_pos),
+        cpoint_radius=jnp.zeros(ncp),
     cpoint_friction=jnp.full(ncp, float(d.contact[0].friction[0])),
     cpoint_solref=jnp.tile(jnp.array(d.contact[0].solref), (ncp, 1)),
     cpoint_solimp=jnp.tile(jnp.array(d.contact[0].solimp), (ncp, 1)),

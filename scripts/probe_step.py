@@ -79,6 +79,7 @@ ncp = len(cp_body)
 sysP = dataclasses.replace(
     sys0.replace(
         cpoint_pos=jnp.array(cp_pos),
+        cpoint_radius=jnp.zeros(ncp),
         cpoint_friction=jnp.full(ncp, 1.0),
         cpoint_solref=jnp.tile(jnp.array([0.02, 1.0]), (ncp, 1)),
         cpoint_solimp=jnp.tile(jnp.array([0.9, 0.95, 0.001, 0.5, 2.0]), (ncp, 1)),

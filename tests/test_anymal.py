@@ -1,0 +1,55 @@
+"""anymal_c morphology: physics sanity + env smoke (BASELINE config 4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nightmare_rl_tpu.physics import loader, pipeline
+
+
+@pytest.fixture(scope="module")
+def sys():
+    return loader.load_system("anymal_c")
+
+
+def test_stands_under_position_hold(sys):
+    st = pipeline.make_state(sys)
+    ctrl = jnp.array(st.qpos[7:])
+    st = pipeline.step(sys, st, ctrl, 300)
+    assert 0.4 < float(st.qpos[2]) < 0.7          # standing, not collapsed
+    up = 1.0 - 2.0 * (st.qpos[4] ** 2 + st.qpos[5] ** 2)  # R_zz from quat
+    assert float(up) > 0.9                        # upright
+    # all four feet loaded (synthetic touch sensors)
+    forces = np.asarray(st.sensordata)
+    assert forces.shape == (4,)
+    assert (forces > 5.0).all()
+    total = forces.sum()
+    weight = float(np.asarray(sys.body_mass).sum()) * 9.81
+    assert 0.6 * weight < total < 1.4 * weight
+
+
+def test_joint_limits_hold(sys):
+    """Command far beyond the joint range; limits must clamp motion."""
+    st = pipeline.make_state(sys)
+    lo = np.asarray(sys.jnt_range)[1:, 0]
+    hi = np.asarray(sys.jnt_range)[1:, 1]
+    ctrl = jnp.array(hi + 3.0)  # push every joint above its upper limit
+    st = pipeline.step(sys, st, ctrl, 400)
+    q = np.asarray(st.qpos[7:])
+    assert (q < hi + 0.15).all(), q - hi
+
+
+def test_env_smoke():
+    from nightmare_rl_tpu.envs.anymal_c import AnymalCCfg, AnymalCEnv
+
+    env = AnymalCEnv(AnymalCCfg(num_envs=4))
+    state, obs = env.reset(0)
+    assert obs.shape == (4, 48)
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        out = env.step(state, jnp.array(rng.normal(size=(4, 12)) * 0.2,
+                                        jnp.float32))
+        state = out.state
+    assert np.isfinite(np.asarray(out.reward)).all()
+    assert not np.asarray(out.done).any()  # shouldn't fall in 3 steps

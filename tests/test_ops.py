@@ -1,0 +1,59 @@
+"""Pallas PGS kernel ≡ scan reference (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nightmare_rl_tpu.ops import pgs
+
+
+def _random_problem(rng, N, nefc, ns_offset=0):
+    G = rng.normal(size=(N, nefc, nefc))
+    A = G @ G.transpose(0, 2, 1) + np.eye(nefc) * 0.1
+    b = rng.normal(size=(N, nefc)) * 5
+    R = np.abs(rng.normal(size=(N, nefc))) + 0.01
+    lo = np.zeros((N, nefc))
+    hi = np.full((N, nefc), np.inf)
+    # friction-style box rows before ns_offset
+    lo[:, :ns_offset] = -2.0
+    hi[:, :ns_offset] = 2.0
+    # some inactive contact rows (in pyramid pairs)
+    inact = rng.random((N, (nefc - ns_offset) // 2)) < 0.3
+    inact = np.repeat(inact, 2, axis=1)
+    hi[:, ns_offset:] = np.where(inact, 0.0, hi[:, ns_offset:])
+    return tuple(jnp.array(x) for x in (A, b, R, lo, hi))
+
+
+def test_kernel_matches_scan_reference():
+    rng = np.random.default_rng(0)
+    A, b, R, lo, hi = _random_problem(rng, 8, 16)
+    ref = jax.vmap(
+        lambda a, bb, rr, l, h: pgs._scan_core(a, bb, rr, l, h, 3, 4, 0)
+    )(A, b, R, lo, hi)
+    out = pgs.pgs_solve(A, b, R, lo, hi, iterations=3, noslip=4,
+                        block_envs=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
+
+
+def test_kernel_with_dof_rows():
+    rng = np.random.default_rng(2)
+    A, b, R, lo, hi = _random_problem(rng, 4, 20, ns_offset=4)
+    ref = jax.vmap(
+        lambda a, bb, rr, l, h: pgs._scan_core(a, bb, rr, l, h, 3, 4, 4)
+    )(A, b, R, lo, hi)
+    out = pgs.pgs_solve(A, b, R, lo, hi, iterations=3, noslip=4, ns_offset=4,
+                        block_envs=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
+    # friction rows respect their box bounds
+    assert float(jnp.max(jnp.abs(out[:, :4]))) <= 2.0 + 1e-9
+
+
+def test_custom_vmap_dispatch():
+    rng = np.random.default_rng(1)
+    A, b, R, lo, hi = _random_problem(rng, 4, 8)
+    core = pgs.pgs_core(3, 4, 0)
+    single = core(A[0], b[0], R[0], lo[0], hi[0])
+    batched = jax.vmap(core)(A, b, R, lo, hi)
+    np.testing.assert_allclose(
+        np.asarray(batched[0]), np.asarray(single), atol=1e-12
+    )

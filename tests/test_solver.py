@@ -44,6 +44,7 @@ def inject_their_contacts(sys, m, d):
     return dataclasses.replace(
         sys.replace(
             cpoint_pos=jnp.array(cp_pos),
+            cpoint_radius=jnp.zeros(ncp),
             cpoint_friction=jnp.full(ncp, 1.0),
             cpoint_solref=jnp.tile(jnp.array([0.02, 1.0]), (ncp, 1)),
             cpoint_solimp=jnp.tile(
