@@ -4,12 +4,16 @@ Host-side orchestration around the fully-jitted PPO iteration: metric logging
 (TensorBoard when available), periodic orbax checkpoints named like the
 reference's ``model_<iter>`` (envs/helpers.py:35-39, save_interval
 envs/nightmare_v3_config.py:139), latest-run/latest-checkpoint resume
-resolution (envs/helpers.py:20-42), and wall-clock step-rate reporting.
+resolution (envs/helpers.py:20-42), wall-clock step-rate reporting, and two
+capabilities the reference lacks (SURVEY §5): checkpoint-on-signal
+(SIGTERM/SIGINT trigger a final save before exit — preemption safety for pod
+slices) and optional jax.profiler traces per iteration window.
 """
 
 from __future__ import annotations
 
 import os
+import signal
 import time
 from typing import Optional
 
@@ -48,9 +52,23 @@ class OnPolicyRunner:
         ckpt.save(path, self.ts)
 
     def learn(self, num_learning_iterations: int,
-              init_at_random_ep_len: bool = False) -> TrainState:
+              init_at_random_ep_len: bool = False,
+              profile_dir: Optional[str] = None) -> TrainState:
         if self.ts is None:
             self.init()
+
+        # checkpoint-on-signal: a preempted run saves model_<iter> and exits
+        # cleanly so `-r` resumes deterministically (the reference's only
+        # recovery is manual restart from the last periodic save)
+        stop = {"flag": False}
+
+        def _on_signal(signum, frame):
+            stop["flag"] = True
+
+        prev_handlers = {
+            s: signal.signal(s, _on_signal)
+            for s in (signal.SIGTERM, signal.SIGINT)
+        }
         if init_at_random_ep_len:
             self.ts = self.ppo.randomize_episode_lengths(self.ts)
         # writer is created lazily so resume-path resolution never sees the
@@ -69,11 +87,19 @@ class OnPolicyRunner:
         )
         t_start = time.time()
         for k in range(num_learning_iterations):
+            if profile_dir and k == 2:  # skip compile iterations
+                jax.profiler.start_trace(profile_dir)
             t0 = time.time()
             self.ts, stats = self.ppo.learn_step(self.ts)
-            jax.block_until_ready(stats["loss"])
+            loss = float(stats["loss"])  # device->host sync (honest timing)
             dt_iter = time.time() - t0
             it = int(self.ts.iteration)
+            if profile_dir and k == 4:
+                try:
+                    jax.profiler.stop_trace()
+                    print(f"profiler trace written to {profile_dir}")
+                except Exception as e:  # not supported on all backends
+                    print(f"profiler unavailable: {e}")
 
             if self.writer is not None:
                 for key in ("loss", "surrogate_loss", "value_loss", "kl", "lr",
@@ -94,6 +120,12 @@ class OnPolicyRunner:
                 )
             if self.log_dir and it % self.cfg.runner.save_interval == 0:
                 self.save(it)
+            if stop["flag"]:
+                print(f"signal received — checkpointing at iter {it} and "
+                      "exiting")
+                break
+        for s, h in prev_handlers.items():
+            signal.signal(s, h)
         if self.log_dir:
             self.save(int(self.ts.iteration))
         total = num_learning_iterations * steps_per_iter

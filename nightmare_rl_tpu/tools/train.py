@@ -27,7 +27,16 @@ def main() -> None:
     p.add_argument("--robot", type=str, default="nightmare_v3",
                    choices=["nightmare_v3", "anymal_c"])
     p.add_argument("--log_root", type=str, default=None)
+    p.add_argument("--profile", type=str, default=None,
+                   help="write a jax.profiler trace of iterations 2-4 here")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() (pod slices)")
     args = p.parse_args()
+
+    if args.multihost:
+        import jax as _jax
+
+        _jax.distributed.initialize()
 
     from nightmare_rl_tpu.core.config import EnvCfg, NightmareV3Cfg, PPOCfg
     from nightmare_rl_tpu.rl.runner import OnPolicyRunner, get_load_path
@@ -78,7 +87,8 @@ def main() -> None:
         path = get_load_path(root)
         print(f"Loading model from: {path}")
         runner.load(path)
-    runner.learn(args.iterations, init_at_random_ep_len=True)
+    runner.learn(args.iterations, init_at_random_ep_len=True,
+                 profile_dir=args.profile)
 
 
 if __name__ == "__main__":
