@@ -175,11 +175,15 @@ class NightmareV3Cfg:
 
 @dataclass(frozen=True)
 class PolicyCfg:
-    # envs/nightmare_v3_config.py:105-109
+    # envs/nightmare_v3_config.py:105-113
     init_noise_std: float = 1.0
     actor_hidden_dims: Tuple[int, ...] = (54, 42, 30)
     critic_hidden_dims: Tuple[int, ...] = (54, 42, 30)
     activation: str = "elu"
+    # only for 'ActorCriticRecurrent'
+    rnn_type: str = "lstm"
+    rnn_hidden_size: int = 512
+    rnn_num_layers: int = 1
 
 
 @dataclass(frozen=True)

@@ -69,6 +69,54 @@ class ActorCritic(nn.Module):
         return self.critic(obs)[..., 0]
 
 
+class ActorCriticRecurrent(nn.Module):
+    """rsl_rl's ActorCriticRecurrent: an LSTM memory in front of each MLP
+    (referenced by the config's commented rnn options,
+    envs/nightmare_v3_config.py:110-113, imported in play.py:12).
+
+    Hidden state is carried by the caller as ``((hA, cA), (hC, cC))`` with
+    shape (batch, rnn_hidden); reset it where episodes end."""
+
+    num_actions: int
+    actor_hidden: Sequence[int] = (54, 42, 30)
+    critic_hidden: Sequence[int] = (54, 42, 30)
+    activation: str = "elu"
+    init_noise_std: float = 1.0
+    rnn_hidden: int = 512
+
+    def setup(self):
+        self.memory_a = nn.OptimizedLSTMCell(self.rnn_hidden)
+        self.memory_c = nn.OptimizedLSTMCell(self.rnn_hidden)
+        self.actor = MLP(self.actor_hidden, self.num_actions, self.activation)
+        self.critic = MLP(self.critic_hidden, 1, self.activation)
+        self.std = self.param(
+            "std",
+            lambda key, shape: jnp.full(shape, self.init_noise_std),
+            (self.num_actions,),
+        )
+
+    def initial_state(self, batch: int, dtype=jnp.float32):
+        z = jnp.zeros((batch, self.rnn_hidden), dtype)
+        return ((z, z), (z, z))
+
+    def __call__(self, obs, hidden):
+        """One step: (mu, std, value), new_hidden.  obs: (batch, num_obs);
+        hidden = (actor LSTM carry, critic LSTM carry), each flax (c, h)."""
+        carry_a, carry_c = hidden
+        carry_a, out_a = self.memory_a(carry_a, obs)
+        carry_c, out_c = self.memory_c(carry_c, obs)
+        mu = self.actor(out_a)
+        v = self.critic(out_c)[..., 0]
+        std = jnp.broadcast_to(self.std, mu.shape)
+        return (mu, std, v), (carry_a, carry_c)
+
+
+def reset_hidden(hidden, done):
+    """Zero the hidden state of finished envs (done: (batch,) bool)."""
+    keep = (~done)[:, None]
+    return jax.tree_util.tree_map(lambda h: h * keep, hidden)
+
+
 def sample_action(key, mu, std):
     return mu + std * jax.random.normal(key, mu.shape, mu.dtype)
 

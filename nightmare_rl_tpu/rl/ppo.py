@@ -41,6 +41,7 @@ class TrainState:
     env_state: Any           # batched EnvState
     obs: jnp.ndarray         # (N, num_obs) current observations
     iteration: jnp.ndarray   # () int32
+    hidden: Any = ()         # recurrent policy carry ((cA,hA),(cC,hC)) or ()
 
 
 class Transition(NamedTuple):
@@ -66,13 +67,25 @@ class PPO:
         self.axis_name = axis_name
         self.num_shards = num_shards
         p = cfg.policy
-        self.net = ac.ActorCritic(
-            num_actions=env.num_actions,
-            actor_hidden=tuple(p.actor_hidden_dims),
-            critic_hidden=tuple(p.critic_hidden_dims),
-            activation=p.activation,
-            init_noise_std=p.init_noise_std,
-        )
+        self.recurrent = cfg.runner.policy_class_name == "ActorCriticRecurrent"
+        if self.recurrent:
+            assert p.rnn_num_layers == 1, "single-layer LSTM supported"
+            self.net = ac.ActorCriticRecurrent(
+                num_actions=env.num_actions,
+                actor_hidden=tuple(p.actor_hidden_dims),
+                critic_hidden=tuple(p.critic_hidden_dims),
+                activation=p.activation,
+                init_noise_std=p.init_noise_std,
+                rnn_hidden=p.rnn_hidden_size,
+            )
+        else:
+            self.net = ac.ActorCritic(
+                num_actions=env.num_actions,
+                actor_hidden=tuple(p.actor_hidden_dims),
+                critic_hidden=tuple(p.critic_hidden_dims),
+                activation=p.activation,
+                init_noise_std=p.init_noise_std,
+            )
         a = cfg.algorithm
         self.tx = optax.chain(
             optax.clip_by_global_norm(a.max_grad_norm),
@@ -87,7 +100,12 @@ class PPO:
         rng = jax.random.PRNGKey(seed)
         rng, k_env, k_net = jax.random.split(rng, 3)
         env_state, obs = self.env.reset(seed)
-        params = self.net.init(k_net, obs[:1])
+        if self.recurrent:
+            hidden = self.net.initial_state(self.env.num_envs, self.dtype)
+            params = self.net.init(k_net, obs, hidden)
+        else:
+            hidden = ()
+            params = self.net.init(k_net, obs[:1])
         opt_state = self.tx.init(params)
         return TrainState(
             params=params,
@@ -97,6 +115,7 @@ class PPO:
             env_state=env_state,
             obs=obs,
             iteration=jnp.zeros((), jnp.int32),
+            hidden=hidden,
         )
 
     def randomize_episode_lengths(self, ts: TrainState) -> TrainState:
@@ -119,22 +138,29 @@ class PPO:
         gamma = self.cfg.algorithm.gamma
 
         def step(carry, _):
-            env_state, obs, rng = carry
+            env_state, obs, rng, hidden = carry
             rng, k = jax.random.split(rng)
-            mu, std, value = self._policy(ts.params, obs)
+            if self.recurrent:
+                (mu, std, value), hidden = self.net.apply(
+                    ts.params, obs, hidden
+                )
+            else:
+                mu, std, value = self._policy(ts.params, obs)
             action = ac.sample_action(k, mu, std)
             logp = ac.log_prob(mu, std, action)
             out = self.env.step(env_state, action)
+            if self.recurrent:
+                hidden = ac.reset_hidden(hidden, out.done)
             # timeout bootstrap (rsl_rl PPO.process_env_step)
             reward = out.reward + gamma * value * out.time_out.astype(value.dtype)
             tr = Transition(obs, action, reward, out.done, value, logp, mu, std)
             metrics = (out.reward_terms, out.finished_episode_sums, out.done)
-            return (out.state, out.obs, rng), (tr, metrics)
+            return (out.state, out.obs, rng, hidden), (tr, metrics)
 
-        (env_state, obs, rng), (traj, metrics) = jax.lax.scan(
-            step, (ts.env_state, ts.obs, ts.rng), None, length=T
+        (env_state, obs, rng, hidden), (traj, metrics) = jax.lax.scan(
+            step, (ts.env_state, ts.obs, ts.rng, ts.hidden), None, length=T
         )
-        return env_state, obs, rng, traj, metrics
+        return env_state, obs, rng, hidden, traj, metrics
 
     def _gae(self, traj: Transition, last_value):
         a = self.cfg.algorithm
@@ -171,8 +197,102 @@ class PPO:
             return x
         return jax.lax.psum(x, self.axis_name)
 
+    def _loss_terms(self, a, mb, mb_ret, mb_adv, mu, std, value):
+        """Clipped PPO losses given fresh policy outputs (any shape, flattened
+        consistently with the stored minibatch)."""
+        logp = ac.log_prob(mu, std, mb.action)
+        ratio = jnp.exp(logp - mb.logp)
+        surr1 = -mb_adv * ratio
+        surr2 = -mb_adv * jnp.clip(ratio, 1.0 - a.clip_param, 1.0 + a.clip_param)
+        surrogate = jnp.maximum(surr1, surr2).mean()
+        if a.use_clipped_value_loss:
+            v_clip = mb.value + jnp.clip(
+                value - mb.value, -a.clip_param, a.clip_param
+            )
+            v_loss = jnp.maximum(
+                jnp.square(value - mb_ret), jnp.square(v_clip - mb_ret)
+            ).mean()
+        else:
+            v_loss = jnp.square(value - mb_ret).mean()
+        ent = ac.entropy(std).mean()
+        loss = surrogate + a.value_loss_coef * v_loss - a.entropy_coef * ent
+        kl = ac.gaussian_kl(mb.mu, mb.sigma, mu, std).mean()
+        return loss, surrogate, v_loss, kl
+
+    def _adapt_lr(self, a, lr, kl):
+        if a.schedule != "adaptive":
+            return lr
+        return jnp.where(
+            kl > a.desired_kl * 2.0,
+            jnp.maximum(1e-5, lr / 1.5),
+            jnp.where(
+                (kl < a.desired_kl / 2.0) & (kl > 0.0),
+                jnp.minimum(1e-2, lr * 1.5),
+                lr,
+            ),
+        )
+
+    def _update_recurrent(self, ts: TrainState, traj, returns, norm_adv, rng):
+        """Recurrent PPO update: minibatches are groups of whole-env
+        trajectories, replayed through the LSTM from the rollout-start hidden
+        state with done-masked resets (rsl_rl's recurrent generator keeps
+        trajectories intact the same way)."""
+        a = self.cfg.algorithm
+        T, N = traj.reward.shape
+        nmb = a.num_mini_batches
+        rng, k = jax.random.split(rng)
+        perm = jax.random.permutation(k, N).reshape(nmb, N // nmb)
+        idxs = jnp.tile(perm, (a.num_learning_epochs, 1))
+
+        def minibatch_step(carry, env_idx):
+            params, opt_state, lr = carry
+            mb = jax.tree_util.tree_map(lambda x: x[:, env_idx], traj)
+            mb_ret = returns[:, env_idx]
+            mb_adv = norm_adv[:, env_idx]
+            h0 = jax.tree_util.tree_map(lambda h: h[env_idx], ts.hidden)
+
+            def loss_fn(p):
+                def scan_step(hidden, xs):
+                    obs_t, done_t = xs
+                    (mu, std, v), hidden = self.net.apply(p, obs_t, hidden)
+                    hidden = ac.reset_hidden(hidden, done_t)
+                    return hidden, (mu, std, v)
+
+                _, (mu, std, value) = jax.lax.scan(
+                    scan_step, h0, (mb.obs, mb.done)
+                )
+                loss, surr, v_loss, kl = self._loss_terms(
+                    a, mb, mb_ret, mb_adv, mu, std, value
+                )
+                return loss, (surr, v_loss, kl)
+
+            (loss, (surr, v_loss, kl)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            grads = jax.tree_util.tree_map(self._pmean, grads)
+            kl = self._pmean(kl)
+            lr = self._adapt_lr(a, lr, kl)
+            opt_state[1].hyperparams["learning_rate"] = lr
+            updates, new_opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_opt_state, lr), (loss, surr, v_loss, kl)
+
+        (params, opt_state, lr), (losses, surrs, v_losses, kls) = jax.lax.scan(
+            minibatch_step, (ts.params, ts.opt_state, ts.lr), idxs
+        )
+        stats = {
+            "loss": self._pmean(losses.mean()),
+            "surrogate_loss": self._pmean(surrs.mean()),
+            "value_loss": self._pmean(v_losses.mean()),
+            "kl": kls.mean(),
+            "lr": lr,
+        }
+        return params, opt_state, lr, rng, stats
+
     def _update(self, ts: TrainState, traj: Transition, returns, norm_adv, rng):
         a = self.cfg.algorithm
+        if self.recurrent:
+            return self._update_recurrent(ts, traj, returns, norm_adv, rng)
         T, N = traj.reward.shape
         B = T * N
         flat = jax.tree_util.tree_map(
@@ -194,26 +314,10 @@ class PPO:
 
             def loss_fn(p):
                 mu, std, value = self._policy(p, mb.obs)
-                logp = ac.log_prob(mu, std, mb.action)
-                ratio = jnp.exp(logp - mb.logp)
-                surr1 = -mb_adv * ratio
-                surr2 = -mb_adv * jnp.clip(
-                    ratio, 1.0 - a.clip_param, 1.0 + a.clip_param
+                loss, surr, v_loss, kl = self._loss_terms(
+                    a, mb, mb_ret, mb_adv, mu, std, value
                 )
-                surrogate = jnp.maximum(surr1, surr2).mean()
-                if a.use_clipped_value_loss:
-                    v_clip = mb.value + jnp.clip(
-                        value - mb.value, -a.clip_param, a.clip_param
-                    )
-                    v_loss = jnp.maximum(
-                        jnp.square(value - mb_ret), jnp.square(v_clip - mb_ret)
-                    ).mean()
-                else:
-                    v_loss = jnp.square(value - mb_ret).mean()
-                ent = ac.entropy(std).mean()
-                loss = surrogate + a.value_loss_coef * v_loss - a.entropy_coef * ent
-                kl = ac.gaussian_kl(mb.mu, mb.sigma, mu, std).mean()
-                return loss, (surrogate, v_loss, kl)
+                return loss, (surr, v_loss, kl)
 
             (loss, (surr, v_loss, kl)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
@@ -224,16 +328,7 @@ class PPO:
 
             # adaptive lr (rsl_rl PPO.update): adjust from this minibatch's
             # KL, then apply the *new* lr to this minibatch's step
-            if a.schedule == "adaptive":
-                lr = jnp.where(
-                    kl > a.desired_kl * 2.0,
-                    jnp.maximum(1e-5, lr / 1.5),
-                    jnp.where(
-                        (kl < a.desired_kl / 2.0) & (kl > 0.0),
-                        jnp.minimum(1e-2, lr * 1.5),
-                        lr,
-                    ),
-                )
+            lr = self._adapt_lr(a, lr, kl)
             opt_state[1].hyperparams["learning_rate"] = lr
             updates, new_opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -255,10 +350,13 @@ class PPO:
         return params, opt_state, lr, rng, stats
 
     def _iteration(self, ts: TrainState):
-        env_state, obs, rng, traj, (reward_terms, finished_sums, dones) = (
-            self._rollout(ts)
-        )
-        _, _, last_value = self._policy(ts.params, obs)
+        env_state, obs, rng, hidden, traj, (
+            reward_terms, finished_sums, dones
+        ) = self._rollout(ts)
+        if self.recurrent:
+            (_, _, last_value), _ = self.net.apply(ts.params, obs, hidden)
+        else:
+            _, _, last_value = self._policy(ts.params, obs)
         advantages, returns, norm_adv = self._gae(traj, last_value)
         params, opt_state, lr, rng, stats = self._update(
             ts, traj, returns, norm_adv, rng
@@ -271,6 +369,7 @@ class PPO:
             env_state=env_state,
             obs=obs,
             iteration=ts.iteration + 1,
+            hidden=hidden,
         )
         # episode metrics: mean finished-episode sums per reward term,
         # normalized by episode seconds (reference reset_idx :363-367);
