@@ -135,6 +135,7 @@ def system_from_mjmodel(m, max_points_per_geom=8, dtype=np.float64) -> S.System:
     cp_mu: List[float] = []
     cp_solref: List[np.ndarray] = []
     cp_solimp: List[np.ndarray] = []
+    cp_geom: List[int] = []
     for g in range(m.ngeom):
         if g == plane_id or not _collides_with_plane(m, g, plane_id):
             continue
@@ -176,6 +177,7 @@ def system_from_mjmodel(m, max_points_per_geom=8, dtype=np.float64) -> S.System:
             cp_mu.append(mu)
             cp_solref.append(np.asarray(solref, dtype=np.float64))
             cp_solimp.append(np.asarray(solimp, dtype=np.float64))
+            cp_geom.append(g)
 
     # order: by body id (matches MuJoCo's pair traversal order vs the plane)
     order = np.argsort(np.array(cp_body), kind="stable")
@@ -185,7 +187,44 @@ def system_from_mjmodel(m, max_points_per_geom=8, dtype=np.float64) -> S.System:
     cp_mu = [cp_mu[i] for i in order]
     cp_solref = [cp_solref[i] for i in order]
     cp_solimp = [cp_solimp[i] for i in order]
+    cp_geom = [cp_geom[i] for i in order]
     ncp = len(cp_body)
+
+    # ---- body-body candidate pairs (self-collision) ----
+    excluded = {
+        (int(sig) >> 16, int(sig) & 0xFFFF) for sig in m.exclude_signature
+    }
+
+    def _geoms_collide(g1, g2):
+        if m.geom_bodyid[g1] == m.geom_bodyid[g2]:
+            return False
+        # parent-child body pairs are excluded by MuJoCo's default filter,
+        # as are explicit <contact><exclude> body pairs
+        b1, b2 = int(m.geom_bodyid[g1]), int(m.geom_bodyid[g2])
+        if m.body_parentid[b1] == b2 or m.body_parentid[b2] == b1:
+            return False
+        if (b1, b2) in excluded or (b2, b1) in excluded:
+            return False
+        c1, a1 = m.geom_contype[g1], m.geom_conaffinity[g1]
+        c2, a2 = m.geom_contype[g2], m.geom_conaffinity[g2]
+        return bool((c1 & a2) or (c2 & a1))
+
+    pair_a: List[int] = []
+    pair_b: List[int] = []
+    pair_mu: List[float] = []
+    pair_solref: List[np.ndarray] = []
+    pair_solimp: List[np.ndarray] = []
+    for i in range(ncp):
+        for j in range(i + 1, ncp):
+            g1, g2 = cp_geom[i], cp_geom[j]
+            if g1 == g2 or not _geoms_collide(g1, g2):
+                continue
+            pair_a.append(i)
+            pair_b.append(j)
+            pair_mu.append(max(cp_mu[i], cp_mu[j]))
+            pair_solref.append((cp_solref[i] + cp_solref[j]) / 2)
+            pair_solimp.append((cp_solimp[i] + cp_solimp[j]) / 2)
+    npair = len(pair_a)
 
     # ---- touch sensor membership matrix ----
     touch_sensors = [
@@ -303,6 +342,11 @@ def system_from_mjmodel(m, max_points_per_geom=8, dtype=np.float64) -> S.System:
         cpoint_friction=f(np.array(cp_mu)),
         cpoint_solref=f(np.array(cp_solref)),
         cpoint_solimp=f(np.array(cp_solimp)),
+        cpair_a=np.asarray(pair_a, dtype=np.int32),
+        cpair_b=np.asarray(pair_b, dtype=np.int32),
+        cpair_friction=f(np.array(pair_mu) if npair else np.zeros(0)),
+        cpair_solref=f(np.array(pair_solref) if npair else np.zeros((0, 2))),
+        cpair_solimp=f(np.array(pair_solimp) if npair else np.zeros((0, 5))),
         sensor_cpoint_matrix=f(sensor_matrix),
         gravity=f(m.opt.gravity),
         timestep=f(m.opt.timestep),

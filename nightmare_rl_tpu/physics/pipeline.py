@@ -68,7 +68,12 @@ def forward(sys: S.System, state: S.State, ctrl: jnp.ndarray) -> ForwardOut:
     qacc_smooth = jax.scipy.linalg.cho_solve((M_chol, True), qfrc_smooth)
 
     con = collision.find_contacts(sys, kin)
-    sol = solver.solve_contacts(sys, con, qpos, qvel, M_chol, qacc_smooth)
+    pair = None
+    if sys.max_pair_contacts > 0 and len(sys.cpair_a) > 0:
+        pair = collision.find_pair_contacts(sys, kin, con)
+    sol = solver.solve_contacts(
+        sys, con, qpos, qvel, M_chol, qacc_smooth, pair=pair
+    )
 
     # touch sensors: per-contact normal force = Σ pyramid facet forces
     sensordata = sys.sensor_cpoint_matrix @ sol.nforce

@@ -105,6 +105,40 @@ def make_efc(sys: S.System, con: Contacts, qvel: jnp.ndarray, iw=None) -> Efc:
     )
 
 
+def make_pair_efc(sys: S.System, pc, qvel: jnp.ndarray) -> Efc:
+    """Pyramidal rows for the selected body↔body sphere-pair contacts."""
+    mu = jnp.asarray(sys.cpair_friction)[pc.sel]
+    Jn = jnp.einsum("knd,kd->kn", pc.jac, pc.normal)
+    Jt1 = jnp.einsum("knd,kd->kn", pc.jac, pc.t1)
+    Jt2 = jnp.einsum("knd,kd->kn", pc.jac, pc.t2)
+    m = mu[:, None]
+    J = jnp.stack(
+        [Jn + m * Jt1, Jn - m * Jt1, Jn + m * Jt2, Jn - m * Jt2], axis=1
+    )
+    solimp = jnp.asarray(sys.cpair_solimp)[pc.sel]
+    solref = jnp.asarray(sys.cpair_solref)[pc.sel]
+    imp = impedance(solimp, pc.dist)
+    K, B = _kb(solref, solimp)
+    vel = jnp.einsum("kfn,n->kf", J, qvel)
+    aref = -B[:, None] * vel - (K * imp * pc.dist)[:, None]
+    iw_all = jnp.asarray(sys.body_invweight)[:, 0]
+    bodyid = jnp.asarray(sys.cpoint_bodyid, dtype=jnp.int32)
+    iw = iw_all[bodyid[pc.a]] + iw_all[bodyid[pc.b]]
+    R = jnp.maximum(
+        (1.0 - imp) / jnp.maximum(imp, 1e-12) * 2.0 * (1.0 + mu**2) * iw,
+        1e-12,
+    )
+    nefc = J.shape[0] * 4
+    active = jnp.repeat(pc.active, 4)
+    return Efc(
+        J.reshape(nefc, sys.nv),
+        aref.reshape(nefc),
+        jnp.repeat(R, 4),
+        jnp.zeros(nefc, J.dtype),
+        jnp.where(active, jnp.inf, 0.0).astype(J.dtype),
+    )
+
+
 def make_dof_efc(sys: S.System, qpos: jnp.ndarray,
                  qvel: jnp.ndarray) -> Optional[Efc]:
     """Dof-friction and joint-limit rows (row order: friction, then limits —
@@ -219,9 +253,10 @@ def solve_contacts(
     qvel: jnp.ndarray,
     M_chol: jnp.ndarray,
     qacc_smooth: jnp.ndarray,
+    pair=None,
 ) -> ContactSolveOut:
-    """Full constraint solve: dof friction + joint limits + contacts, with
-    optional top-K contact candidate selection.
+    """Full constraint solve: dof friction + joint limits + plane contacts
+    (+ optional body-body pair contacts), with top-K candidate selection.
 
     With ``sys.max_contacts = K > 0`` only the K deepest candidate points
     enter the constraint system (MuJoCo instantiates only detected contacts;
@@ -242,6 +277,7 @@ def solve_contacts(
             dist=con.dist[sel],
             active=con.active[sel],
             jac=con.jac[sel],
+            centers=con.centers[sel],
         )
         sub_sys = dataclasses.replace(
             sys,
@@ -258,17 +294,24 @@ def solve_contacts(
         efc_c = make_efc(sub_sys, sub, qvel, iw=iw_full[sel])
         ncp_sel = K
 
+    parts = [efc_c]
+    if pair is not None:
+        parts.append(make_pair_efc(sys, pair, qvel))
+
     efc_d = make_dof_efc(sys, qpos, qvel)
     if efc_d is not None:
         ns_offset = efc_d.J.shape[0]
-        efc = Efc(*[jnp.concatenate([getattr(efc_d, f), getattr(efc_c, f)])
-                    for f in Efc._fields])
+        parts.insert(0, efc_d)
     else:
         ns_offset = 0
-        efc = efc_c
+    if len(parts) > 1:
+        efc = Efc(*[jnp.concatenate([getattr(p, f) for p in parts])
+                    for f in Efc._fields])
+    else:
+        efc = parts[0]
 
     sol = solve(sys, efc, M_chol, qacc_smooth, ns_offset=ns_offset)
-    fc = sol.force[ns_offset:]
+    fc = sol.force[ns_offset : ns_offset + 4 * ncp_sel]
     nforce_sel = fc.reshape(ncp_sel, 4).sum(axis=1)
     if sel is None:
         nforce = nforce_sel
@@ -276,4 +319,10 @@ def solve_contacts(
         nforce = jnp.zeros(sys.ncp, dtype=nforce_sel.dtype).at[sel].set(
             nforce_sel
         )
+    if pair is not None:
+        # pair contact normal force feeds the touch sensors of BOTH bodies
+        # (the huge tibia sites contain any point on their body)
+        fp = sol.force[ns_offset + 4 * ncp_sel :]
+        nf_pair = fp.reshape(-1, 4).sum(axis=1)
+        nforce = nforce.at[pair.a].add(nf_pair).at[pair.b].add(nf_pair)
     return ContactSolveOut(nforce, sol.qfrc_constraint, sol.qacc)

@@ -106,6 +106,14 @@ class System:
     cpoint_friction: jnp.ndarray  # (ncp,) tangential mu
     cpoint_solref: jnp.ndarray    # (ncp, 2)
     cpoint_solimp: jnp.ndarray    # (ncp, 5)
+    # body-body candidate pairs (self-collision, e.g. tibia↔tibia — the
+    # nightmare model's contype 2 / conaffinity 3 geoms collide with each
+    # other, mjmodel.xml:47): indices into the cpoint arrays
+    cpair_a: jnp.ndarray          # (npair,) int32
+    cpair_b: jnp.ndarray          # (npair,) int32
+    cpair_friction: jnp.ndarray   # (npair,)
+    cpair_solref: jnp.ndarray     # (npair, 2)
+    cpair_solimp: jnp.ndarray     # (npair, 5)
     # touch-sensor accumulation: sensordata = matrix @ contact_normal_forces.
     # Static membership is pose-independent because each contact point and the
     # sensor sites that contain it live on the same body (the reference
@@ -126,6 +134,8 @@ class System:
     max_contacts: int = _static(default=-1)
     # Euler integrator: implicit joint damping (mjDSBL_EULERDAMP clears it)
     eulerdamp: bool = _static(default=True)
+    # top-K deepest body-body pair contacts entering the solver (0 = none)
+    max_pair_contacts: int = _static(default=4)
 
     @property
     def dtype(self):

@@ -55,6 +55,11 @@ ncp = len(cp_body)
 sysP = sys0.replace(
     cpoint_pos=jnp.array(cp_pos),
         cpoint_radius=jnp.zeros(ncp),
+        cpair_a=np.zeros(0, np.int32),
+        cpair_b=np.zeros(0, np.int32),
+        cpair_friction=jnp.zeros(0),
+        cpair_solref=jnp.zeros((0, 2)),
+        cpair_solimp=jnp.zeros((0, 5)),
     cpoint_friction=jnp.full(ncp, float(d.contact[0].friction[0])),
     cpoint_solref=jnp.tile(jnp.array(d.contact[0].solref), (ncp, 1)),
     cpoint_solimp=jnp.tile(jnp.array(d.contact[0].solimp), (ncp, 1)),

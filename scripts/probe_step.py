@@ -80,6 +80,11 @@ sysP = dataclasses.replace(
     sys0.replace(
         cpoint_pos=jnp.array(cp_pos),
         cpoint_radius=jnp.zeros(ncp),
+        cpair_a=np.zeros(0, np.int32),
+        cpair_b=np.zeros(0, np.int32),
+        cpair_friction=jnp.zeros(0),
+        cpair_solref=jnp.zeros((0, 2)),
+        cpair_solimp=jnp.zeros((0, 5)),
         cpoint_friction=jnp.full(ncp, 1.0),
         cpoint_solref=jnp.tile(jnp.array([0.02, 1.0]), (ncp, 1)),
         cpoint_solimp=jnp.tile(jnp.array([0.9, 0.95, 0.001, 0.5, 2.0]), (ncp, 1)),

@@ -45,6 +45,11 @@ def inject_their_contacts(sys, m, d):
         sys.replace(
             cpoint_pos=jnp.array(cp_pos),
             cpoint_radius=jnp.zeros(ncp),
+            cpair_a=np.zeros(0, np.int32),
+            cpair_b=np.zeros(0, np.int32),
+            cpair_friction=jnp.zeros(0),
+            cpair_solref=jnp.zeros((0, 2)),
+            cpair_solimp=jnp.zeros((0, 5)),
             cpoint_friction=jnp.full(ncp, 1.0),
             cpoint_solref=jnp.tile(jnp.array([0.02, 1.0]), (ncp, 1)),
             cpoint_solimp=jnp.tile(
