@@ -27,9 +27,17 @@ def main() -> None:
     p.add_argument("--wz", type=float, default=0.0)
     p.add_argument("--view", action="store_true",
                    help="replay in mujoco.viewer (needs a display)")
+    p.add_argument("--live", action="store_true",
+                   help="interactive viewer + keyboard teleop while the "
+                        "policy runs (needs display; keys è/à = vx±, "
+                        "ò/ù = wz± like the reference play.py:36-47)")
     p.add_argument("--out", type=str, default=None,
                    help="save the trajectory to this .pkl (replay format)")
     args = p.parse_args()
+
+    if args.live:
+        live_teleop(args)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -84,6 +92,82 @@ def main() -> None:
 
     if args.view:
         replay_in_viewer(traj)
+
+
+def live_teleop(args):
+    """Interactive policy teleop: the policy steps our TPU physics while a
+    passive mujoco.viewer mirrors env 0 by state injection and pynput keys
+    adjust the velocity command (reference play.py:36-47,141-171)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import mujoco as mj
+    import mujoco.viewer as mjv
+    import numpy as np
+    from pynput import keyboard
+
+    from nightmare_rl_tpu.core.config import EnvCfg, NightmareV3Cfg, PPOCfg
+    from nightmare_rl_tpu.envs.nightmare_v3 import NightmareV3Env
+    from nightmare_rl_tpu.models.actor_critic import ActorCritic
+    from nightmare_rl_tpu.utils import checkpoint as ckpt
+
+    cfg = NightmareV3Cfg().replace(env=EnvCfg(num_envs=1))
+    env = NightmareV3Env(cfg)
+    net = ActorCritic(num_actions=env.num_actions)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, env.num_obs), jnp.float32))
+    if args.ckpt:
+        from nightmare_rl_tpu.rl.ppo import PPO
+
+        ts = PPO(env, PPOCfg()).init(0)
+        params = ckpt.restore(args.ckpt, ts).params
+
+    cmd = np.array([0.0, 0.0, 0.0], np.float32)
+
+    def on_press(key):
+        try:
+            c = key.char
+        except AttributeError:
+            return
+        if c == "è":
+            cmd[0] += 0.1
+        elif c == "à":
+            cmd[0] -= 0.1
+        elif c == "ò":
+            cmd[2] += 0.1
+        elif c == "ù":
+            cmd[2] -= 0.1
+
+    keyboard.Listener(on_press=on_press).start()
+
+    m = mj.MjModel.from_xml_path(
+        "/root/reference/models/nightmare_v3/mjmodel.xml"
+    )
+    d = mj.MjData(m)
+
+    @jax.jit
+    def policy_step(params, state, obs, command):
+        state = state.replace(commands=command[None])
+        mu = net.apply(params, obs, method=ActorCritic.act_inference)
+        out = env._step_batch(state, mu)
+        return out.state, out.obs
+
+    state, obs = env.reset(0)
+    with mjv.launch_passive(m, d) as viewer:
+        frames, t0 = 0, _time.time()
+        while viewer.is_running():
+            state, obs = policy_step(params, state, obs, jnp.array(cmd))
+            d.qpos[:] = np.asarray(state.phys.qpos[0])
+            d.qvel[:] = np.asarray(state.phys.qvel[0])
+            mj.mj_forward(m, d)
+            viewer.cam.lookat = d.qpos[:3]
+            viewer.sync()
+            frames += 1
+            if frames % 1000 == 0:
+                print(f"fps {1000 / (_time.time() - t0):.1f} cmd {cmd}")
+                t0 = _time.time()
+            _time.sleep(max(0.0, env.dt - 0.001))
 
 
 def replay_in_viewer(traj, xml="/root/reference/models/nightmare_v3/mjmodel.xml",
