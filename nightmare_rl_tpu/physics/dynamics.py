@@ -128,13 +128,3 @@ def actuation(
 def passive(sys: S.System, qvel: jnp.ndarray) -> jnp.ndarray:
     """qfrc_passive: joint damping (springs/frictionloss handled elsewhere)."""
     return -sys.dof_damping * qvel
-
-
-def cholesky_factor(M: jnp.ndarray) -> jnp.ndarray:
-    return jnp.linalg.cholesky(M)
-
-
-def cholesky_solve(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Solve M x = b given L = chol(M); b may be (nv,) or (nv, k)."""
-    y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)

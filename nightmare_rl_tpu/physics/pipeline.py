@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nightmare_rl_tpu.core import quat as Q
+from nightmare_rl_tpu.ops import linalg
 from nightmare_rl_tpu.physics import collision, dynamics, kinematics, solver
 from nightmare_rl_tpu.physics import system as S
 
@@ -58,7 +59,7 @@ def forward(sys: S.System, state: S.State, ctrl: jnp.ndarray) -> ForwardOut:
     vel = kinematics.com_vel(sys, kin, qvel)
 
     M = dynamics.crb(sys, kin)
-    M_chol = jnp.linalg.cholesky(M)
+    M_chol = linalg.chol(M)
 
     bias = dynamics.rne_bias(sys, kin, vel, qvel)
     act = dynamics.actuation(sys, qpos, qvel, ctrl)
@@ -114,7 +115,7 @@ def step(sys: S.System, state: S.State, ctrl: jnp.ndarray, n_steps: int = 1) -> 
             # velocity derivative has actuator (gear²·b2) and damping terms
             deriv = fwd.act.vel_deriv - sys.dof_damping  # diagonal of ∂f/∂v
             Mhat = fwd.M - dt * jnp.diag(deriv)
-            Lhat = jnp.linalg.cholesky(Mhat)
+            Lhat = linalg.chol(Mhat)
             qacc = jax.scipy.linalg.cho_solve(
                 (Lhat, True), fwd.qfrc_smooth + fwd.sol.qfrc_constraint
             )
@@ -127,7 +128,7 @@ def step(sys: S.System, state: S.State, ctrl: jnp.ndarray, n_steps: int = 1) -> 
                 fwd.qfrc_smooth + fwd.sol.qfrc_constraint
             )
             qvel = jax.scipy.linalg.cho_solve(
-                (jnp.linalg.cholesky(MhB), True), rhs
+                (linalg.chol(MhB), True), rhs
             )
         else:
             qvel = state.qvel + dt * fwd.sol.qacc

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from nightmare_rl_tpu.ops import linalg
 from nightmare_rl_tpu.physics import system as S
 from nightmare_rl_tpu.physics.collision import Contacts
 
@@ -224,10 +225,9 @@ def solve(
 
     # A = J M⁻¹ Jᵀ, formulated transpose-free (einsum contractions on
     # trailing dims): minor-dim transposes are pathological on this TPU stack.
-    nv = efc.J.shape[1]
-    Minv = jax.scipy.linalg.cho_solve(
-        (M_chol, True), jnp.eye(nv, dtype=efc.J.dtype)
-    )
+    # M⁻¹ comes from the unrolled triangular inverse (ops/linalg.py) — XLA's
+    # multi-rhs triangular solve lowers to sequential loops on TPU.
+    Minv = linalg.spd_inv_from_chol(M_chol)
     JMinv = efc.J @ Minv                                     # (nefc, nv)
     A = jnp.einsum("ik,jk->ij", JMinv, efc.J)                # (nefc, nefc)
     b = efc.J @ qacc_smooth - efc.aref

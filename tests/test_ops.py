@@ -57,3 +57,59 @@ def test_custom_vmap_dispatch():
     np.testing.assert_allclose(
         np.asarray(batched[0]), np.asarray(single), atol=1e-12
     )
+
+
+# ---------------------------------------------------------------------------
+# unrolled small-matrix linalg (ops/linalg.py)
+# ---------------------------------------------------------------------------
+
+from nightmare_rl_tpu.ops import linalg  # noqa: E402
+
+
+def _random_spd(rng, shape, n):
+    X = rng.standard_normal(shape + (n, n))
+    return jnp.asarray(X @ np.swapaxes(X, -1, -2) + 5.0 * np.eye(n))
+
+
+def test_unrolled_cholesky_matches_xla():
+    rng = np.random.default_rng(0)
+    M = _random_spd(rng, (16,), 24)
+    L = linalg.chol(M)
+    L_ref = jnp.linalg.cholesky(M)
+    np.testing.assert_allclose(np.asarray(L), np.asarray(L_ref), atol=1e-11)
+    # strictly upper triangle is exactly zero
+    assert float(jnp.abs(jnp.triu(L[0], 1)).max()) == 0.0
+
+
+def test_tri_inv_and_spd_inv():
+    rng = np.random.default_rng(1)
+    M = _random_spd(rng, (8,), 24)
+    L = linalg.chol(M)
+    Li = linalg.tri_inv(L)
+    eye = jnp.eye(24, dtype=L.dtype)
+    np.testing.assert_allclose(
+        np.asarray(jnp.einsum("bik,bkj->bij", Li, L)),
+        np.broadcast_to(np.eye(24), (8, 24, 24)),
+        atol=1e-11,
+    )
+    Minv = linalg.spd_inv_from_chol(L)
+    np.testing.assert_allclose(
+        np.asarray(jnp.einsum("bik,bkj->bij", Minv, M)),
+        np.broadcast_to(np.eye(24), (8, 24, 24)),
+        atol=1e-9,
+    )
+    assert float(jnp.abs(Minv - jnp.swapaxes(Minv, -1, -2)).max()) < 1e-12
+
+
+def test_unrolled_chol_unbatched_and_f32():
+    rng = np.random.default_rng(2)
+    M = _random_spd(rng, (), 7)
+    np.testing.assert_allclose(
+        np.asarray(linalg.chol(M)), np.asarray(jnp.linalg.cholesky(M)),
+        atol=1e-12,
+    )
+    M32 = M.astype(jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(linalg.chol(M32)),
+        np.asarray(jnp.linalg.cholesky(M32)), atol=1e-5,
+    )
