@@ -35,6 +35,9 @@ class Contacts(NamedTuple):
                          # (kept dof-major to avoid minor-dim transposes,
                          # which are pathological on this TPU stack)
     centers: jnp.ndarray  # (ncp, 3) world centers of the candidate spheres
+    jac_rot: jnp.ndarray  # (ncp, nv, 3) rotational jacobian (world axes);
+                          # consumed only by condim>3 facet rows — XLA DCEs
+                          # it away for all-condim-3 models
 
 
 class PairContacts(NamedTuple):
@@ -74,7 +77,8 @@ def find_contacts(sys: S.System, kin: KinOut) -> Contacts:
     lin = kin.cdof[None, :, 3:]                        # (1, nv, 3)
     jac = lin + jnp.cross(ang, r)                      # (ncp, nv, 3)
     mask = jnp.asarray(sys.body_dof_mask)[body][..., None]  # (ncp, nv, 1)
-    return Contacts(pos, dist, active, jac * mask, center)
+    jac_rot = jnp.broadcast_to(ang, jac.shape) * mask
+    return Contacts(pos, dist, active, jac * mask, center, jac_rot)
 
 
 def find_pair_contacts(sys: S.System, kin: KinOut,
@@ -83,7 +87,7 @@ def find_pair_contacts(sys: S.System, kin: KinOut,
     (sys.cpair_*).  Contact frame: normal from a to b; tangents from a
     deterministic orthonormal construction (self-contacts are transient, so
     frame-choice parity with mju_makeFrame is not load-bearing)."""
-    K = sys.max_pair_contacts
+    K = min(sys.max_pair_contacts, len(sys.cpair_a))
     pa = jnp.asarray(sys.cpair_a, dtype=jnp.int32)
     pb = jnp.asarray(sys.cpair_b, dtype=jnp.int32)
     r = jnp.asarray(sys.cpoint_radius)

@@ -96,6 +96,9 @@ def actuation(
     qfrc = gearᵀ·force.  Covers <velocity> (gain=kv, b2=-kv — the nightmare
     model, mjmodel.xml:136-153) and <position> (gain=kp, b1=-kp — anymal_c).
     """
+    if sys.nu == 0:  # passive model
+        z = jnp.zeros_like(qvel)
+        return ActOut(z, jnp.zeros(0, qvel.dtype), z)
     trn_dof = jnp.array([sys.jnt_dofadr[j] for j in sys.actuator_trnid])
     trn_qadr = jnp.array([sys.jnt_qposadr[j] for j in sys.actuator_trnid])
     length = qpos[trn_qadr] * sys.actuator_gear

@@ -133,6 +133,8 @@ def system_from_mjmodel(m, max_points_per_geom=8, dtype=np.float64) -> S.System:
     cp_pos: List[np.ndarray] = []
     cp_rad: List[float] = []
     cp_mu: List[float] = []
+    cp_mu_rot: List[np.ndarray] = []
+    cp_condim: List[int] = []
     cp_solref: List[np.ndarray] = []
     cp_solimp: List[np.ndarray] = []
     cp_geom: List[int] = []
@@ -160,21 +162,27 @@ def system_from_mjmodel(m, max_points_per_geom=8, dtype=np.float64) -> S.System:
             pts = m.geom_pos[g][None]
         # pair parameters with the plane: MuJoCo takes the higher-priority
         # geom's values outright, else mixes (mean for equal solmix, max
-        # friction)
+        # friction, max condim)
         if m.geom_priority[g] != m.geom_priority[plane_id]:
             src = g if m.geom_priority[g] > m.geom_priority[plane_id] else plane_id
-            mu = float(m.geom_friction[src, 0])
+            fric3 = m.geom_friction[src].copy()
+            condim = int(m.geom_condim[src])
             solref = m.geom_solref[src].copy()
             solimp = m.geom_solimp[src].copy()
         else:
-            mu = float(max(m.geom_friction[g, 0], m.geom_friction[plane_id, 0]))
+            fric3 = np.maximum(m.geom_friction[g], m.geom_friction[plane_id])
+            condim = int(max(m.geom_condim[g], m.geom_condim[plane_id]))
             solref = (m.geom_solref[g] + m.geom_solref[plane_id]) / 2
             solimp = (m.geom_solimp[g] + m.geom_solimp[plane_id]) / 2
         for p in pts:
             cp_body.append(body)
             cp_pos.append(np.asarray(p, dtype=np.float64))
             cp_rad.append(radius)
-            cp_mu.append(mu)
+            cp_mu.append(float(fric3[0]))
+            cp_mu_rot.append(
+                np.array([fric3[1], fric3[2], fric3[2]], dtype=np.float64)
+            )
+            cp_condim.append(condim)
             cp_solref.append(np.asarray(solref, dtype=np.float64))
             cp_solimp.append(np.asarray(solimp, dtype=np.float64))
             cp_geom.append(g)
@@ -185,6 +193,8 @@ def system_from_mjmodel(m, max_points_per_geom=8, dtype=np.float64) -> S.System:
     cp_pos = [cp_pos[i] for i in order]
     cp_rad = [cp_rad[i] for i in order]
     cp_mu = [cp_mu[i] for i in order]
+    cp_mu_rot = [cp_mu_rot[i] for i in order]
+    cp_condim = [cp_condim[i] for i in order]
     cp_solref = [cp_solref[i] for i in order]
     cp_solimp = [cp_solimp[i] for i in order]
     cp_geom = [cp_geom[i] for i in order]
@@ -340,6 +350,11 @@ def system_from_mjmodel(m, max_points_per_geom=8, dtype=np.float64) -> S.System:
         cpoint_pos=f(np.array(cp_pos)) if ncp else f(np.zeros((0, 3))),
         cpoint_radius=f(np.array(cp_rad)),
         cpoint_friction=f(np.array(cp_mu)),
+        cpoint_friction_rot=(
+            f(np.array(cp_mu_rot)) if ncp else f(np.zeros((0, 3)))
+        ),
+        cpoint_condim=tuple(cp_condim),
+        impratio=float(m.opt.impratio),
         cpoint_solref=f(np.array(cp_solref)),
         cpoint_solimp=f(np.array(cp_solimp)),
         cpair_a=np.asarray(pair_a, dtype=np.int32),
@@ -398,6 +413,7 @@ _STATIC_FIELDS = [
     "jnt_qposadr", "jnt_dofadr", "dof_bodyid", "actuator_trnid",
     "site_bodyid", "cpoint_bodyid", "cpoint_sensor", "integrator",
     "solver_iterations", "noslip_iterations", "max_contacts", "eulerdamp",
+    "cpoint_condim", "impratio",
 ]
 
 
@@ -409,8 +425,10 @@ def save_system(sys: S.System, path: str) -> None:
     for fld in dataclasses.fields(sys):
         val = getattr(sys, fld.name)
         if fld.name in _STATIC_FIELDS:
-            static[fld.name] = val if isinstance(val, int) else list(val)
-        else:
+            static[fld.name] = (
+                val if isinstance(val, (int, float)) else list(val)
+            )
+        elif val is not None:
             arrays[fld.name] = np.asarray(val)
     arrays["__static__"] = np.frombuffer(
         json.dumps(static).encode(), dtype=np.uint8
@@ -429,7 +447,7 @@ def load_system(path_or_name: str, dtype=None) -> S.System:
     static = json.loads(bytes(data["__static__"]).decode())
     kwargs = {}
     for k, v in static.items():
-        kwargs[k] = v if isinstance(v, int) else tuple(v)
+        kwargs[k] = v if isinstance(v, (int, float)) else tuple(v)
     for k in data.files:
         if k == "__static__":
             continue

@@ -45,11 +45,16 @@ class Efc(NamedTuple):
     hi: jnp.ndarray      # (nefc,) force upper bound (0 for inactive rows)
 
 
+_MINIMP, _MAXIMP = 1e-4, 0.9999  # mjMINIMP/mjMAXIMP: MuJoCo clamps impedances
+
+
 def impedance(solimp: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     """MuJoCo's sigmoid impedance d(pos) from solimp = (d0,dmax,width,mid,pow)."""
     d0, dmax, width, mid, power = (
         solimp[..., 0], solimp[..., 1], solimp[..., 2], solimp[..., 3], solimp[..., 4]
     )
+    d0 = jnp.clip(d0, _MINIMP, _MAXIMP)
+    dmax = jnp.clip(dmax, _MINIMP, _MAXIMP)
     x = jnp.clip(jnp.abs(pos) / jnp.maximum(width, 1e-12), 0.0, 1.0)
     y_lo = (x / jnp.maximum(mid, 1e-12)) ** (power - 1.0) * x
     y_hi = 1.0 - ((1.0 - x) / jnp.maximum(1.0 - mid, 1e-12)) ** (power - 1.0) * (
@@ -63,46 +68,90 @@ def _kb(solref, solimp):
     """Stiffness/damping from solref (standard positive convention;
     direct negative convention = (-K, -B))."""
     tc, dr = solref[..., 0], solref[..., 1]
-    dmax = solimp[..., 1]
+    dmax = jnp.clip(solimp[..., 1], _MINIMP, _MAXIMP)
     K = jnp.where(tc > 0, 1.0 / jnp.maximum(dmax * tc * dr, 1e-12) ** 2, -tc)
     B = jnp.where(tc > 0, 2.0 / jnp.maximum(dmax * tc, 1e-12), -dr)
     return K, B
 
 
-def make_efc(sys: S.System, con: Contacts, qvel: jnp.ndarray, iw=None) -> Efc:
-    """Assemble pyramidal contact constraint rows."""
-    mu = sys.cpoint_friction                       # (ncp,)
-    Jn = con.jac[..., 2]                           # (ncp, nv)
-    # mju_makeFrame for n=+z: t1 = (0,1,0), t2 = (-1,0,0)
-    Jt1 = con.jac[..., 1]
-    Jt2 = -con.jac[..., 0]
-    m = mu[:, None]
-    J = jnp.stack(
-        [Jn + m * Jt1, Jn - m * Jt1, Jn + m * Jt2, Jn - m * Jt2], axis=1
-    )                                              # (ncp, 4, nv)
+def _contact_R(imp: jnp.ndarray, mu0: jnp.ndarray, iw, impratio) -> jnp.ndarray:
+    """Pyramidal-row regularization, MuJoCo's diag-approximation:
+    R = (1-imp)/imp · 2μ₀²(1+μ₀²)·(iw1+iw2)/impratio — identical for every
+    facet of a contact regardless of condim (verified numerically against
+    mjData.efc_R for condim 3 and 6, μ≠1, impratio≠1)."""
+    R = (
+        (1.0 - imp) / jnp.maximum(imp, 1e-12)
+        * 2.0 * mu0**2 * (1.0 + mu0**2) * iw / impratio
+    )
+    return jnp.maximum(R, 1e-12)
 
-    imp = impedance(sys.cpoint_solimp, con.dist)   # (ncp,)
-    K, B = _kb(sys.cpoint_solref, sys.cpoint_solimp)
 
-    vel = jnp.einsum("cfn,n->cf", J, qvel)         # (ncp, 4)
-    aref = -B[:, None] * vel - (K * imp * con.dist)[:, None]
+def _pyramid_rows(
+    Jn, fdirs, mus, dist, active, solref, solimp, iw, impratio, qvel
+) -> Efc:
+    """Pyramid facet rows for a uniform-condim contact group.
 
+    fdirs: friction-direction jacobians [(n, nv)] in MuJoCo order
+    (t1, t2[, rot_n, rot_t1, rot_t2]); mus: matching coefficients (n,).
+    Facet layout per point: +d0, -d0, +d1, -d1, ... (matches mjData.efc_J
+    row order for pyramidal cones)."""
+    rows = []
+    for mu_i, Ji in zip(mus, fdirs):
+        m = mu_i[:, None]
+        rows.append(Jn + m * Ji)
+        rows.append(Jn - m * Ji)
+    J = jnp.stack(rows, axis=1)                    # (n, nf, nv)
+    n, nf, nv = J.shape
+
+    imp = impedance(solimp, dist)
+    K, B = _kb(solref, solimp)
+    vel = jnp.einsum("cfn,n->cf", J, qvel)
+    aref = -B[:, None] * vel - (K * imp * dist)[:, None]
+    R = _contact_R(imp, mus[0], iw, impratio)
+
+    act = jnp.repeat(active, nf)
+    dtype = J.dtype
+    return Efc(
+        J.reshape(n * nf, nv),
+        aref.reshape(n * nf),
+        jnp.repeat(R, nf),
+        jnp.zeros(n * nf, dtype),
+        jnp.where(act, jnp.inf, 0.0).astype(dtype),
+    )
+
+
+def _fdirs(jac, jac_rot, mu, mu_rot, condim: int):
+    """Friction directions/coefficients for the plane-contact frame
+    (mju_makeFrame for n=+z: t1 = (0,1,0), t2 = (-1,0,0))."""
+    Jn = jac[..., 2]
+    fdirs = [jac[..., 1], -jac[..., 0]]
+    mus = [mu, mu]
+    if condim >= 4:
+        fdirs.append(jac_rot[..., 2])
+        mus.append(mu_rot[:, 0])
+    if condim >= 6:
+        fdirs += [jac_rot[..., 1], -jac_rot[..., 0]]
+        mus += [mu_rot[:, 1], mu_rot[:, 2]]
+    return Jn, fdirs, mus
+
+
+def make_efc(sys: S.System, con: Contacts, qvel: jnp.ndarray, iw=None,
+             condim: int = 3) -> Efc:
+    """Assemble pyramidal contact rows for a uniform-condim contact set."""
+    mu = jnp.asarray(sys.cpoint_friction)          # (ncp,)
+    mu_rot = (
+        jnp.asarray(sys.cpoint_friction_rot)
+        if sys.cpoint_friction_rot is not None
+        else jnp.zeros((con.jac.shape[0], 3), con.jac.dtype)
+    )
     if iw is None:  # world side contributes 0 invweight
         iw = jnp.asarray(sys.body_invweight)[
             jnp.asarray(sys.cpoint_bodyid, dtype=jnp.int32), 0
         ]
-    R = (1.0 - imp) / jnp.maximum(imp, 1e-12) * 2.0 * (1.0 + mu**2) * iw
-    R = jnp.maximum(R, 1e-12)
-
-    nefc = J.shape[0] * 4
-    active = jnp.repeat(con.active, 4)
-    dtype = J.dtype
-    return Efc(
-        J.reshape(nefc, sys.nv),
-        aref.reshape(nefc),
-        jnp.repeat(R, 4),
-        jnp.zeros(nefc, dtype),
-        jnp.where(active, jnp.inf, 0.0).astype(dtype),
+    Jn, fdirs, mus = _fdirs(con.jac, con.jac_rot, mu, mu_rot, condim)
+    return _pyramid_rows(
+        Jn, fdirs, mus, con.dist, con.active, sys.cpoint_solref,
+        sys.cpoint_solimp, iw, sys.impratio, qvel,
     )
 
 
@@ -125,10 +174,7 @@ def make_pair_efc(sys: S.System, pc, qvel: jnp.ndarray) -> Efc:
     iw_all = jnp.asarray(sys.body_invweight)[:, 0]
     bodyid = jnp.asarray(sys.cpoint_bodyid, dtype=jnp.int32)
     iw = iw_all[bodyid[pc.a]] + iw_all[bodyid[pc.b]]
-    R = jnp.maximum(
-        (1.0 - imp) / jnp.maximum(imp, 1e-12) * 2.0 * (1.0 + mu**2) * iw,
-        1e-12,
-    )
+    R = _contact_R(imp, mu, iw, sys.impratio)
     nefc = J.shape[0] * 4
     active = jnp.repeat(pc.active, 4)
     return Efc(
@@ -258,43 +304,67 @@ def solve_contacts(
     """Full constraint solve: dof friction + joint limits + plane contacts
     (+ optional body-body pair contacts), with top-K candidate selection.
 
-    With ``sys.max_contacts = K > 0`` only the K deepest candidate points
-    enter the constraint system (MuJoCo instantiates only detected contacts;
-    this is the static-shape analog).  Forces are scattered back to the full
-    candidate set for the touch sensors.
+    Candidate points are statically grouped by condim (the condim of each
+    point is a compile-time constant).  With ``sys.max_contacts = K > 0``
+    the K deepest *condim-3* candidates enter the constraint system (MuJoCo
+    instantiates only detected contacts; this is the static-shape analog);
+    higher-condim points (e.g. the four anymal_c feet) are few and always
+    enter.  Forces are scattered back to the full candidate set for the
+    touch sensors.
+
+    Row layout: [dof friction | joint limits | condim-3 facets | condim>3
+    facets (ascending condim) | pair facets].  Every facet block keeps the
+    consecutive ±pair structure the noslip pass expects.
     """
-    import dataclasses
+    condim = np.asarray(
+        sys.cpoint_condim if len(sys.cpoint_condim) else (3,) * sys.ncp
+    )
+    assert condim.min() >= 3, "condim 1 contacts are not supported"
+    iw_full = jnp.asarray(sys.body_invweight)[
+        jnp.asarray(sys.cpoint_bodyid, dtype=jnp.int32), 0
+    ]
+    mu_full = jnp.asarray(sys.cpoint_friction)
+    mu_rot_full = (
+        jnp.asarray(sys.cpoint_friction_rot)
+        if sys.cpoint_friction_rot is not None
+        else jnp.zeros((sys.ncp, 3), con.jac.dtype)
+    )
+    solref_full = jnp.asarray(sys.cpoint_solref)
+    solimp_full = jnp.asarray(sys.cpoint_solimp)
 
+    def group_rows(idx, d: int):
+        """Facet rows for the (dynamically- or statically-) selected points
+        ``idx``, all of condim ``d``."""
+        Jn, fdirs, mus = _fdirs(
+            con.jac[idx], con.jac_rot[idx], mu_full[idx], mu_rot_full[idx], d
+        )
+        return _pyramid_rows(
+            Jn, fdirs, mus, con.dist[idx], con.active[idx], solref_full[idx],
+            solimp_full[idx], iw_full[idx], sys.impratio, qvel,
+        )
+
+    # ---- contact groups (static split by condim) ----
+    c3 = np.nonzero(condim == 3)[0]
+    higher = [
+        (int(d), np.nonzero(condim == d)[0])
+        for d in sorted(set(condim.tolist()))
+        if d > 3
+    ]
     K = sys.max_contacts
-    if K <= 0 or K >= sys.ncp:
-        efc_c = make_efc(sys, con, qvel)
-        sel = None
-        ncp_sel = sys.ncp
-    else:
-        _, sel = jax.lax.top_k(-con.dist, K)
-        sub = type(con)(
-            pos=con.pos[sel],
-            dist=con.dist[sel],
-            active=con.active[sel],
-            jac=con.jac[sel],
-            centers=con.centers[sel],
-        )
-        sub_sys = dataclasses.replace(
-            sys,
-            cpoint_friction=jnp.asarray(sys.cpoint_friction)[sel],
-            cpoint_radius=jnp.asarray(sys.cpoint_radius)[sel],
-            cpoint_solref=jnp.asarray(sys.cpoint_solref)[sel],
-            cpoint_solimp=jnp.asarray(sys.cpoint_solimp)[sel],
-            ncp=K,
-            cpoint_bodyid=sys.cpoint_bodyid[:K],  # unused: iw passed explicitly
-        )
-        iw_full = jnp.asarray(sys.body_invweight)[
-            jnp.asarray(sys.cpoint_bodyid, dtype=jnp.int32), 0
-        ]
-        efc_c = make_efc(sub_sys, sub, qvel, iw=iw_full[sel])
-        ncp_sel = K
+    cparts = []          # (efc, point_indices, n_facets)
+    if len(c3):
+        if 0 < K < len(c3):
+            c3j = jnp.asarray(c3)
+            _, s = jax.lax.top_k(-con.dist[c3j], K)
+            sel3 = c3j[s]
+        else:
+            sel3 = jnp.asarray(c3)
+        cparts.append((group_rows(sel3, 3), sel3, 4))
+    for d, idx in higher:
+        idxj = jnp.asarray(idx)
+        cparts.append((group_rows(idxj, d), idxj, 2 * (d - 1)))
 
-    parts = [efc_c]
+    parts = [p[0] for p in cparts]
     if pair is not None:
         parts.append(make_pair_efc(sys, pair, qvel))
 
@@ -311,18 +381,19 @@ def solve_contacts(
         efc = parts[0]
 
     sol = solve(sys, efc, M_chol, qacc_smooth, ns_offset=ns_offset)
-    fc = sol.force[ns_offset : ns_offset + 4 * ncp_sel]
-    nforce_sel = fc.reshape(ncp_sel, 4).sum(axis=1)
-    if sel is None:
-        nforce = nforce_sel
-    else:
-        nforce = jnp.zeros(sys.ncp, dtype=nforce_sel.dtype).at[sel].set(
-            nforce_sel
-        )
+
+    # normal force per candidate point = Σ facet forces, scattered back to
+    # the full candidate set (touch sensors read the full set)
+    nforce = jnp.zeros(sys.ncp, dtype=sol.force.dtype)
+    off = ns_offset
+    for _, idx, nf in cparts:
+        n = idx.shape[0]
+        blk = sol.force[off : off + n * nf].reshape(n, nf).sum(axis=1)
+        nforce = nforce.at[idx].set(blk)
+        off += n * nf
     if pair is not None:
         # pair contact normal force feeds the touch sensors of BOTH bodies
         # (the huge tibia sites contain any point on their body)
-        fp = sol.force[ns_offset + 4 * ncp_sel :]
-        nf_pair = fp.reshape(-1, 4).sum(axis=1)
+        nf_pair = sol.force[off:].reshape(-1, 4).sum(axis=1)
         nforce = nforce.at[pair.a].add(nf_pair).at[pair.b].add(nf_pair)
     return ContactSolveOut(nforce, sol.qfrc_constraint, sol.qacc)

@@ -136,6 +136,16 @@ class System:
     eulerdamp: bool = _static(default=True)
     # top-K deepest body-body pair contacts entering the solver (0 = none)
     max_pair_contacts: int = _static(default=4)
+    # contact dimensionality per candidate point (3 = sliding friction only,
+    # 4 = +torsional, 6 = +rolling; anymal_c feet are condim 6,
+    # models/anymal_c/anymal_c.xml:20).  () = all condim 3.
+    cpoint_condim: Tuple[int, ...] = _static(default=())
+    # <option impratio>: frictional-to-normal impedance ratio; divides the
+    # pyramidal-row regularization (anymal_c scene.xml sets 100)
+    impratio: float = _static(default=1.0)
+    # torsional/rolling friction per point: (ncp, 3) = [tors, roll, roll];
+    # None for archives predating condim support (treated as zeros)
+    cpoint_friction_rot: Any = None
 
     @property
     def dtype(self):
