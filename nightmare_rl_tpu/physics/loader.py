@@ -315,6 +315,9 @@ def system_from_mjmodel(m, max_points_per_geom=8, dtype=np.float64) -> S.System:
         integrator=integ,
         solver_iterations=int(m.opt.iterations),
         noslip_iterations=int(m.opt.noslip_iterations),
+        solver_type=int(m.opt.solver),
+        cone=int(m.opt.cone),
+        ls_iterations=int(m.opt.ls_iterations),
         eulerdamp=not bool(
             m.opt.disableflags & mj.mjtDisableBit.mjDSBL_EULERDAMP
         ),
@@ -413,7 +416,7 @@ _STATIC_FIELDS = [
     "jnt_qposadr", "jnt_dofadr", "dof_bodyid", "actuator_trnid",
     "site_bodyid", "cpoint_bodyid", "cpoint_sensor", "integrator",
     "solver_iterations", "noslip_iterations", "max_contacts", "eulerdamp",
-    "cpoint_condim", "impratio",
+    "cpoint_condim", "impratio", "solver_type", "cone", "ls_iterations",
 ]
 
 

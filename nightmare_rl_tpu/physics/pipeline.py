@@ -73,7 +73,7 @@ def forward(sys: S.System, state: S.State, ctrl: jnp.ndarray) -> ForwardOut:
     if sys.max_pair_contacts > 0 and len(sys.cpair_a) > 0:
         pair = collision.find_pair_contacts(sys, kin, con)
     sol = solver.solve_contacts(
-        sys, con, qpos, qvel, M_chol, qacc_smooth, pair=pair
+        sys, con, qpos, qvel, M_chol, qacc_smooth, pair=pair, M=M
     )
 
     # touch sensors: per-contact normal force = Σ pyramid facet forces

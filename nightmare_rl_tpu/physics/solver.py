@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nightmare_rl_tpu.ops import linalg
+from nightmare_rl_tpu.physics import newton
 from nightmare_rl_tpu.physics import system as S
 from nightmare_rl_tpu.physics.collision import Contacts
 
@@ -155,25 +156,66 @@ def make_efc(sys: S.System, con: Contacts, qvel: jnp.ndarray, iw=None,
     )
 
 
-def make_pair_efc(sys: S.System, pc, qvel: jnp.ndarray) -> Efc:
-    """Pyramidal rows for the selected body↔body sphere-pair contacts."""
+def _elliptic_rows(
+    Jn, fdirs, mus, dist, active, solref, solimp, iw, impratio, qvel
+):
+    """Elliptic-cone rows for a uniform-condim contact group: per contact
+    [normal | t1 | t2 | (torsion) | (roll1 | roll2)] — one row per friction
+    direction (no ± facets).  MuJoCo semantics verified numerically against
+    mjData on anymal_c (scripts/probe_newton.py): friction rows carry
+    aref = −B·vel (no position term), R₀ = (1−imp)/imp·Σinvweight on the
+    normal row, Rᵢ = R₀·(μ₁/μᵢ)²/impratio on friction rows, and the solver
+    cone coefficient is μ̄ = μ₁·√(R₁/R₀) = μ₁/√impratio (= contact.mu)."""
+    J = jnp.stack([Jn] + list(fdirs), axis=1)       # (n, d, nv)
+    n, d, nv = J.shape
+    mus_arr = jnp.stack(list(mus), axis=1)           # (n, d-1)
+    mu1 = mus[0]
+
+    imp = impedance(solimp, dist)
+    K, B = _kb(solref, solimp)
+    vel = jnp.einsum("cfn,n->cf", J, qvel)
+    aref = -B[:, None] * vel
+    aref = aref.at[:, 0].add(-(K * imp * dist))
+    R0 = jnp.maximum((1.0 - imp) / jnp.maximum(imp, 1e-12) * iw, 1e-12)
+    Rf = R0[:, None] * (mu1[:, None] / mus_arr) ** 2 / impratio
+    R = jnp.concatenate([R0[:, None], Rf], axis=1)
+    mu_bar = mu1 / jnp.sqrt(jnp.asarray(impratio, J.dtype))
+
+    efc = Efc(
+        J.reshape(n * d, nv),
+        aref.reshape(n * d),
+        R.reshape(n * d),
+        jnp.zeros(n * d, J.dtype),
+        jnp.where(jnp.repeat(active, d), jnp.inf, 0.0).astype(J.dtype),
+    )
+    return efc, mu_bar, mus_arr
+
+
+def make_pair_efc(sys: S.System, pc, qvel: jnp.ndarray, elliptic=False):
+    """Rows for the selected body↔body sphere-pair contacts (condim 3):
+    pyramid facets, or per-direction cone rows when ``elliptic``."""
     mu = jnp.asarray(sys.cpair_friction)[pc.sel]
     Jn = jnp.einsum("knd,kd->kn", pc.jac, pc.normal)
     Jt1 = jnp.einsum("knd,kd->kn", pc.jac, pc.t1)
     Jt2 = jnp.einsum("knd,kd->kn", pc.jac, pc.t2)
+    solimp = jnp.asarray(sys.cpair_solimp)[pc.sel]
+    solref = jnp.asarray(sys.cpair_solref)[pc.sel]
+    iw_all = jnp.asarray(sys.body_invweight)[:, 0]
+    bodyid = jnp.asarray(sys.cpoint_bodyid, dtype=jnp.int32)
+    iw = iw_all[bodyid[pc.a]] + iw_all[bodyid[pc.b]]
+    if elliptic:
+        return _elliptic_rows(
+            Jn, [Jt1, Jt2], [mu, mu], pc.dist, pc.active, solref, solimp,
+            iw, sys.impratio, qvel,
+        )
     m = mu[:, None]
     J = jnp.stack(
         [Jn + m * Jt1, Jn - m * Jt1, Jn + m * Jt2, Jn - m * Jt2], axis=1
     )
-    solimp = jnp.asarray(sys.cpair_solimp)[pc.sel]
-    solref = jnp.asarray(sys.cpair_solref)[pc.sel]
     imp = impedance(solimp, pc.dist)
     K, B = _kb(solref, solimp)
     vel = jnp.einsum("kfn,n->kf", J, qvel)
     aref = -B[:, None] * vel - (K * imp * pc.dist)[:, None]
-    iw_all = jnp.asarray(sys.body_invweight)[:, 0]
-    bodyid = jnp.asarray(sys.cpoint_bodyid, dtype=jnp.int32)
-    iw = iw_all[bodyid[pc.a]] + iw_all[bodyid[pc.b]]
     R = _contact_R(imp, mu, iw, sys.impratio)
     nefc = J.shape[0] * 4
     active = jnp.repeat(pc.active, 4)
@@ -183,7 +225,7 @@ def make_pair_efc(sys: S.System, pc, qvel: jnp.ndarray) -> Efc:
         jnp.repeat(R, 4),
         jnp.zeros(nefc, J.dtype),
         jnp.where(active, jnp.inf, 0.0).astype(J.dtype),
-    )
+    ), None, None
 
 
 def make_dof_efc(sys: S.System, qpos: jnp.ndarray,
@@ -292,6 +334,34 @@ class ContactSolveOut(NamedTuple):
     qacc: jnp.ndarray             # (nv,)
 
 
+def _noslip_pairs(A, b, f, hi, ns_offset: int, sweeps: int):
+    """MuJoCo noslip post-pass on consecutive ± facet pairs, starting from an
+    arbitrary force f (used after Newton; the PGS path runs it fused inside
+    ops/pgs.py with identical semantics)."""
+    nefc = b.shape[0]
+    diag = jnp.diagonal(A)
+    npairs = (nefc - ns_offset) // 2
+    if sweeps <= 0 or npairs <= 0:
+        return f
+
+    def ns_pair(p, f):
+        i, j = ns_offset + 2 * p, ns_offset + 2 * p + 1
+        s = f[i] + f[j]
+        g = (A[i] - A[j]) @ f + b[i] - b[j]
+        h = diag[i] + diag[j] - 2.0 * A[i, j]
+        y = 0.5 * (f[i] - f[j]) - g / jnp.maximum(h, 1e-12)
+        y = jnp.clip(y, -0.5 * s, 0.5 * s)
+        ok = hi[i] > 0
+        fi = jnp.where(ok, 0.5 * s + y, f[i])
+        fj = jnp.where(ok, 0.5 * s - y, f[j])
+        return f.at[i].set(fi).at[j].set(fj)
+
+    def ns_sweep(_, f):
+        return jax.lax.fori_loop(0, npairs, ns_pair, f)
+
+    return jax.lax.fori_loop(0, sweeps, ns_sweep, f)
+
+
 def solve_contacts(
     sys: S.System,
     con,
@@ -300,6 +370,7 @@ def solve_contacts(
     M_chol: jnp.ndarray,
     qacc_smooth: jnp.ndarray,
     pair=None,
+    M: Optional[jnp.ndarray] = None,
 ) -> ContactSolveOut:
     """Full constraint solve: dof friction + joint limits + plane contacts
     (+ optional body-body pair contacts), with top-K candidate selection.
@@ -332,16 +403,23 @@ def solve_contacts(
     solref_full = jnp.asarray(sys.cpoint_solref)
     solimp_full = jnp.asarray(sys.cpoint_solimp)
 
+    use_newton = sys.solver_type in (S.SOLVER_CG, S.SOLVER_NEWTON)
+    elliptic = use_newton and sys.cone == S.ELLIPTIC
+
     def group_rows(idx, d: int):
-        """Facet rows for the (dynamically- or statically-) selected points
-        ``idx``, all of condim ``d``."""
+        """Constraint rows for the (dynamically- or statically-) selected
+        points ``idx``, all of condim ``d``: pyramid facets, or (Newton +
+        elliptic models) per-direction cone rows."""
         Jn, fdirs, mus = _fdirs(
             con.jac[idx], con.jac_rot[idx], mu_full[idx], mu_rot_full[idx], d
         )
-        return _pyramid_rows(
+        args = (
             Jn, fdirs, mus, con.dist[idx], con.active[idx], solref_full[idx],
             solimp_full[idx], iw_full[idx], sys.impratio, qvel,
         )
+        if elliptic:
+            return _elliptic_rows(*args)
+        return _pyramid_rows(*args), None, None
 
     # ---- contact groups (static split by condim) ----
     c3 = np.nonzero(condim == 3)[0]
@@ -351,7 +429,8 @@ def solve_contacts(
         if d > 3
     ]
     K = sys.max_contacts
-    cparts = []          # (efc, point_indices, n_facets)
+    # (efc, point_indices, rows_per_point, condim, mu_bar, mus) per group
+    cparts = []
     if len(c3):
         if 0 < K < len(c3):
             c3j = jnp.asarray(c3)
@@ -359,14 +438,19 @@ def solve_contacts(
             sel3 = c3j[s]
         else:
             sel3 = jnp.asarray(c3)
-        cparts.append((group_rows(sel3, 3), sel3, 4))
+        rows, mu_bar, mus = group_rows(sel3, 3)
+        cparts.append((rows, sel3, 3 if elliptic else 4, 3, mu_bar, mus))
     for d, idx in higher:
         idxj = jnp.asarray(idx)
-        cparts.append((group_rows(idxj, d), idxj, 2 * (d - 1)))
+        rows, mu_bar, mus = group_rows(idxj, d)
+        nf = d if elliptic else 2 * (d - 1)
+        cparts.append((rows, idxj, nf, d, mu_bar, mus))
 
     parts = [p[0] for p in cparts]
+    pair_part = None
     if pair is not None:
-        parts.append(make_pair_efc(sys, pair, qvel))
+        pair_part = make_pair_efc(sys, pair, qvel, elliptic=elliptic)
+        parts.append(pair_part[0])
 
     efc_d = make_dof_efc(sys, qpos, qvel)
     if efc_d is not None:
@@ -380,20 +464,76 @@ def solve_contacts(
     else:
         efc = parts[0]
 
-    sol = solve(sys, efc, M_chol, qacc_smooth, ns_offset=ns_offset)
+    if use_newton:
+        assert M is not None, "Newton solve needs the mass matrix"
+        cones = []
+        if elliptic:
+            off = ns_offset
+            for _, idx, nf, d, mu_bar, mus in cparts:
+                n = idx.shape[0]
+                cones.append(newton.ConeGroup(
+                    start=off, dim=d, mu=mu_bar, mus=mus,
+                    active=con.active[idx],
+                ))
+                off += n * nf
+            if pair_part is not None:
+                cones.append(newton.ConeGroup(
+                    start=off, dim=3, mu=pair_part[1], mus=pair_part[2],
+                    active=pair.active,
+                ))
+        is_fl = efc.lo < 0.0
+        nefc = newton.NewtonEfc(
+            J=efc.J, aref=efc.aref, R=efc.R,
+            quad_active=(~is_fl) & (efc.hi > 0.0) & _cone_row_mask(
+                efc.J.shape[0], cones
+            ),
+            fl=jnp.where(is_fl, efc.hi, 0.0),
+            cones=tuple(cones),
+        )
+        nsol = newton.solve(
+            nefc, M, qacc_smooth, sys.solver_iterations, sys.ls_iterations
+        )
+        force = nsol.force
+        if sys.noslip_iterations > 0 and not elliptic:
+            Minv = linalg.spd_inv_from_chol(M_chol)
+            JMinv = efc.J @ Minv
+            A = jnp.einsum("ik,jk->ij", JMinv, efc.J)
+            b = efc.J @ qacc_smooth - efc.aref
+            force = _noslip_pairs(
+                A, b, force, efc.hi, ns_offset, sys.noslip_iterations
+            )
+            qfrc = jnp.einsum("kn,k->n", efc.J, force)
+            qacc = qacc_smooth + Minv @ qfrc
+            sol = SolveOut(force, qfrc, qacc)
+        else:
+            sol = SolveOut(force, nsol.qfrc_constraint, nsol.qacc)
+    else:
+        sol = solve(sys, efc, M_chol, qacc_smooth, ns_offset=ns_offset)
 
-    # normal force per candidate point = Σ facet forces, scattered back to
-    # the full candidate set (touch sensors read the full set)
+    # normal force per candidate point, scattered back to the full candidate
+    # set (touch sensors read the full set): Σ facet forces for pyramidal,
+    # the normal row for elliptic
     nforce = jnp.zeros(sys.ncp, dtype=sol.force.dtype)
     off = ns_offset
-    for _, idx, nf in cparts:
+    for _, idx, nf, _, _, _ in cparts:
         n = idx.shape[0]
-        blk = sol.force[off : off + n * nf].reshape(n, nf).sum(axis=1)
-        nforce = nforce.at[idx].set(blk)
+        blk = sol.force[off : off + n * nf].reshape(n, nf)
+        nforce = nforce.at[idx].set(blk[:, 0] if elliptic else blk.sum(axis=1))
         off += n * nf
     if pair is not None:
         # pair contact normal force feeds the touch sensors of BOTH bodies
         # (the huge tibia sites contain any point on their body)
-        nf_pair = sol.force[off:].reshape(-1, 4).sum(axis=1)
+        blk = sol.force[off:].reshape(-1, 3 if elliptic else 4)
+        nf_pair = blk[:, 0] if elliptic else blk.sum(axis=1)
         nforce = nforce.at[pair.a].add(nf_pair).at[pair.b].add(nf_pair)
     return ContactSolveOut(nforce, sol.qfrc_constraint, sol.qacc)
+
+
+def _cone_row_mask(nefc: int, cones) -> jnp.ndarray:
+    """False on rows owned by elliptic cone groups (their cost is handled
+    per-contact, not as one-sided quadratics)."""
+    mask = np.ones(nefc, dtype=bool)
+    for g in cones:
+        n = g.mus.shape[0]
+        mask[g.start : g.start + n * g.dim] = False
+    return jnp.asarray(mask)

@@ -33,6 +33,15 @@ HINGE = 3
 EULER = 0
 IMPLICITFAST = 1
 
+# Constraint solvers (mjtSolver values)
+SOLVER_PGS = 0
+SOLVER_CG = 1
+SOLVER_NEWTON = 2
+
+# Friction cones (mjtCone values)
+PYRAMIDAL = 0
+ELLIPTIC = 1
+
 
 def _static(**kw):
     return struct.field(pytree_node=False, **kw)
@@ -146,6 +155,14 @@ class System:
     # torsional/rolling friction per point: (ncp, 3) = [tors, roll, roll];
     # None for archives predating condim support (treated as zeros)
     cpoint_friction_rot: Any = None
+    # <option solver>: PGS=0 (nightmare train model), CG=1, Newton=2 (the
+    # MuJoCo default — anymal_c and mjmodel_mjx.xml).  CG shares Newton's
+    # convex objective and fixed point; we run Newton for both.
+    solver_type: int = _static(default=SOLVER_PGS)
+    # <option cone>: pyramidal=0 or elliptic=1 (anymal_c scene sets elliptic)
+    cone: int = _static(default=PYRAMIDAL)
+    # <option ls_iterations>: Newton exact-linesearch iteration cap
+    ls_iterations: int = _static(default=50)
 
     @property
     def dtype(self):

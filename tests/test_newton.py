@@ -1,0 +1,215 @@
+"""Newton solver (pyramidal + elliptic cones) vs the MuJoCo oracle.
+
+The reference's accelerator model selects Newton (solver="Newton",
+models/nightmare_v3/mjmodel_mjx.xml:4) and anymal_c selects Newton + elliptic
+cones with impratio=100 (models/anymal_c/anymal_c.xml:4).  Both engines
+minimize the same strictly convex cost, so converged results must agree to
+solver tolerance regardless of iteration-level details (physics/newton.py).
+"""
+
+import os
+
+import jax.numpy as jnp
+import mujoco as mj
+import numpy as np
+
+from nightmare_rl_tpu.physics import collision, kinematics, loader, pipeline
+from nightmare_rl_tpu.physics import solver
+from nightmare_rl_tpu.physics import system as S
+
+ANYMAL_DIR = "/root/reference/models/anymal_c"
+
+
+def _dense_J(m, d):
+    if mj.mj_isSparse(m):
+        J = np.zeros((d.nefc, m.nv))
+        mj.mju_sparse2dense(J, d.efc_J, d.efc_J_rownnz, d.efc_J_rowadr,
+                            d.efc_J_colind)
+        return J
+    return d.efc_J.reshape(d.nefc, m.nv)
+
+
+def _anymal(settle=200):
+    cwd = os.getcwd()
+    os.chdir(ANYMAL_DIR)
+    try:
+        m = mj.MjModel.from_xml_path("scene.xml")
+    finally:
+        os.chdir(cwd)
+    d = mj.MjData(m)
+    for _ in range(settle):
+        mj.mj_step(m, d)
+    mj.mj_forward(m, d)
+    return m, d
+
+
+def test_anymal_defaults_are_newton_elliptic():
+    m, _ = _anymal(settle=0)
+    sys = loader.system_from_mjmodel(m, max_points_per_geom={"*": 4})
+    assert sys.solver_type == S.SOLVER_NEWTON
+    assert sys.cone == S.ELLIPTIC
+    assert sys.impratio == 100.0
+    assert sys.ls_iterations == 50
+
+
+def test_anymal_elliptic_efc_rows_exact():
+    """Elliptic row assembly (J, aref, R) vs mjData.efc_* on settled anymal:
+    per-direction rows, friction aref = -B·vel, R scalings with impratio."""
+    m, d = _anymal()
+    sys = loader.system_from_mjmodel(m, max_points_per_geom={"*": 4})
+    condim = np.asarray(sys.cpoint_condim)
+    c6 = np.nonzero(condim == 6)[0]
+    assert len(c6) == 4
+
+    kin = kinematics.kinematics(sys, jnp.asarray(d.qpos))
+    con = collision.find_contacts(sys, kin)
+    qvel = jnp.asarray(d.qvel)
+
+    iw_full = jnp.asarray(sys.body_invweight)[
+        jnp.asarray(sys.cpoint_bodyid, dtype=jnp.int32), 0
+    ]
+    mu = jnp.asarray(sys.cpoint_friction)[c6]
+    mu_rot = jnp.asarray(sys.cpoint_friction_rot)[c6]
+    Jn, fdirs, mus = solver._fdirs(
+        con.jac[c6], con.jac_rot[c6], mu, mu_rot, 6
+    )
+    efc, mu_bar, mus_arr = solver._elliptic_rows(
+        Jn, fdirs, mus, con.dist[c6], con.active[c6],
+        jnp.asarray(sys.cpoint_solref)[c6], jnp.asarray(sys.cpoint_solimp)[c6],
+        iw_full[c6], sys.impratio, qvel,
+    )
+    J_ours = np.asarray(efc.J).reshape(len(c6), 6, sys.nv)
+    aref_ours = np.asarray(efc.aref).reshape(len(c6), 6)
+    R_ours = np.asarray(efc.R).reshape(len(c6), 6)
+
+    J_ref = _dense_J(m, d)
+    assert d.ncon == 4 and all(d.contact[i].dim == 6 for i in range(d.ncon))
+    cp_body = np.asarray(sys.cpoint_bodyid)
+    for i in range(d.ncon):
+        c = d.contact[i]
+        body = int(m.geom_bodyid[c.geom2])
+        js = [k for k in range(len(c6)) if cp_body[c6[k]] == body]
+        assert len(js) == 1
+        k = js[0]
+        adr = c.efc_address
+        np.testing.assert_allclose(
+            np.asarray(mu_bar)[k], c.mu, rtol=1e-12,
+            err_msg=f"regularized cone mu, contact {i}",
+        )
+        np.testing.assert_allclose(
+            J_ours[k], J_ref[adr : adr + 6], atol=1e-9,
+            err_msg=f"J rows, contact {i}",
+        )
+        np.testing.assert_allclose(
+            aref_ours[k], d.efc_aref[adr : adr + 6], atol=1e-9,
+            err_msg=f"aref, contact {i}",
+        )
+        np.testing.assert_allclose(
+            R_ours[k], d.efc_R[adr : adr + 6], rtol=1e-9,
+            err_msg=f"R, contact {i}",
+        )
+
+
+def test_anymal_elliptic_forward_matches_oracle():
+    """Converged Newton/elliptic solve on settled anymal: qacc, constraint
+    force, and per-foot normal forces vs mj_forward."""
+    m, d = _anymal()
+    sys = loader.system_from_mjmodel(m, max_points_per_geom={"*": 4})
+    state = pipeline.make_state(sys)
+    state = state.replace(qpos=jnp.array(d.qpos), qvel=jnp.array(d.qvel))
+    fwd = pipeline.forward(sys, state, jnp.zeros(sys.nu))
+
+    np.testing.assert_allclose(
+        np.asarray(fwd.sol.qacc), d.qacc, rtol=1e-5, atol=1e-5,
+        err_msg="qacc",
+    )
+    np.testing.assert_allclose(
+        np.asarray(fwd.sol.qfrc_constraint), d.qfrc_constraint,
+        rtol=1e-5, atol=1e-4, err_msg="qfrc_constraint",
+    )
+    # per-foot normal force = elliptic normal row
+    condim = np.asarray(sys.cpoint_condim)
+    c6 = np.nonzero(condim == 6)[0]
+    cp_body = np.asarray(sys.cpoint_bodyid)
+    nforce = np.asarray(fwd.sol.nforce)
+    for i in range(d.ncon):
+        c = d.contact[i]
+        body = int(m.geom_bodyid[c.geom2])
+        k = [k for k in range(len(c6)) if cp_body[c6[k]] == body][0]
+        np.testing.assert_allclose(
+            nforce[c6[k]], d.efc_force[c.efc_address], rtol=1e-4,
+            err_msg=f"normal force, contact {i}",
+        )
+
+
+_SPHERES_NEWTON_XML = """
+<mujoco>
+  <option solver="Newton" cone="{cone}" impratio="{impratio}" timestep="0.002"
+          iterations="30" ls_iterations="50" noslip_iterations="{noslip}"/>
+  <worldbody>
+    <geom type="plane" size="5 5 .1"/>
+    <body pos="0 0 0.045">
+      <freejoint/>
+      <geom type="sphere" size="0.05" friction="0.5 0.02 0.01" condim="3"
+            priority="1" mass="1"/>
+    </body>
+    <body pos="1 0 0.045">
+      <freejoint/>
+      <geom type="sphere" size="0.05" friction="0.5 0.03 0.015" condim="6"
+            priority="1" mass="1"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def _sphere_traj(cone: str, impratio: float, noslip: int = 0, steps=50):
+    m = mj.MjModel.from_xml_string(
+        _SPHERES_NEWTON_XML.format(cone=cone, impratio=impratio,
+                                   noslip=noslip)
+    )
+    d = mj.MjData(m)
+    d.qvel[3:6] = [0.0, 4.0, 8.0]
+    d.qvel[0] = 0.5
+    d.qvel[9:12] = [0.0, 4.0, 8.0]
+    d.qvel[6] = 0.5
+
+    sys = loader.system_from_mjmodel(m)
+    assert sys.solver_type == S.SOLVER_NEWTON
+    state = pipeline.make_state(sys)
+    state = state.replace(qpos=jnp.array(d.qpos), qvel=jnp.array(d.qvel))
+
+    ctrl = jnp.zeros(0)
+    for _ in range(steps):
+        mj.mj_step(m, d)
+        state = pipeline.step(sys, state, ctrl, 1)
+    assert d.ncon == 2
+    return m, d, state
+
+
+def test_synthetic_newton_pyramidal_stepping():
+    """Full trajectory vs mj_step under Newton + pyramidal + noslip (the
+    mjmodel_mjx.xml configuration) on exactly-representable collisions."""
+    m, d, state = _sphere_traj("pyramidal", 7.0, noslip=3)
+    np.testing.assert_allclose(np.asarray(state.qpos), d.qpos, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(state.qvel), d.qvel, atol=5e-4)
+
+
+def test_synthetic_newton_elliptic_stepping():
+    """Full trajectory vs mj_step under Newton + elliptic cones (the anymal_c
+    configuration), spinning/rolling/sliding spheres."""
+    m, d, state = _sphere_traj("elliptic", 7.0)
+    np.testing.assert_allclose(np.asarray(state.qpos), d.qpos, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(state.qvel), d.qvel, atol=5e-4)
+
+
+def test_mjx_model_loads_newton():
+    """The reference's accelerator model variant compiles to Newton +
+    pyramidal + noslip (mjmodel_mjx.xml:4)."""
+    m = mj.MjModel.from_xml_path(
+        "/root/reference/models/nightmare_v3/mjmodel_mjx.xml"
+    )
+    sys = loader.system_from_mjmodel(m)
+    assert sys.solver_type == S.SOLVER_NEWTON
+    assert sys.cone == S.PYRAMIDAL
+    assert sys.noslip_iterations == 5
