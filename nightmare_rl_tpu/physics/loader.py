@@ -153,11 +153,21 @@ def system_from_mjmodel(m, max_points_per_geom=8, dtype=np.float64) -> S.System:
         elif m.geom_type[g] in (
             mj.mjtGeom.mjGEOM_CAPSULE, mj.mjtGeom.mjGEOM_CYLINDER
         ):
-            # endpoints of the axis (local z), radius = cross-section
+            # two spheres on the axis (local z), radius = cross-section.
+            # Capsule: at the axis endpoints — the spheres ARE the end caps.
+            # Cylinder: inscribed at ±(half−r) so the spheres stay inside
+            # the solid (axial extent exactly ±half): at ±half they would
+            # overhang the flat caps by r, producing phantom self-collision
+            # contacts MuJoCo doesn't have (anymal_c LH_HIP↔RH_HIP).  The
+            # inscribed pair is exact for cap-standing and side-lying plane
+            # contact; only the cap rim of a tilted cylinder is undercovered.
             R = _quat_mat(m.geom_quat[g])
-            half = m.geom_size[g, 1] * R[:, 2]
-            pts = np.stack([m.geom_pos[g] - half, m.geom_pos[g] + half])
             radius = float(m.geom_size[g, 0])
+            h = float(m.geom_size[g, 1])
+            if m.geom_type[g] == mj.mjtGeom.mjGEOM_CYLINDER:
+                h = max(h - radius, 0.0)
+            half = h * R[:, 2]
+            pts = np.stack([m.geom_pos[g] - half, m.geom_pos[g] + half])
         else:
             pts = m.geom_pos[g][None]
         # pair parameters with the plane: MuJoCo takes the higher-priority

@@ -216,14 +216,50 @@ def solve(
             d2 = pMp + curv
             return d1, d2
 
-        def ls_body(alpha, _):
-            d1, d2 = phi_derivs(alpha)
-            return alpha - d1 / jnp.maximum(d2, tiny), None
-
         alpha0 = jnp.asarray(0.0, dtype)
         d1_0, d2_0 = phi_derivs(alpha0)
-        alpha = -d1_0 / jnp.maximum(d2_0, tiny)
-        alpha, _ = jax.lax.scan(ls_body, alpha, None, length=ls_iterations)
+
+        # Guarded line search on the monotone piecewise-smooth φ'(α).  Pure
+        # scalar Newton can cycle across curvature breakpoints (period-2
+        # oscillation observed on anymal_c with mixed fl/cone rows), so keep
+        # a bracket [lo, hi] with φ'(lo) < 0 ≤ φ'(hi): Newton steps that
+        # leave the bracket fall back to bisection — guaranteed convergence
+        # to the unique 1-D minimizer.
+        a1 = -d1_0 / jnp.maximum(d2_0, tiny)
+
+        def expand(carry, _):
+            hi, d1_hi, _ = carry
+            need = d1_hi < 0.0
+            hi_n = jnp.where(need, hi * 2.0, hi)
+            d1_n, d2_n = phi_derivs(hi_n)
+            return (
+                hi_n,
+                jnp.where(need, d1_n, d1_hi),
+                jnp.where(need, d2_n, jnp.asarray(0.0, dtype)),
+            ), None
+
+        d1_a1, d2_a1 = phi_derivs(a1)
+        (hi, d1_hi, _), _ = jax.lax.scan(
+            expand, (a1, d1_a1, d2_a1), None, length=8
+        )
+
+        def ls_body(carry, _):
+            lo, hi, alpha, d1, d2 = carry
+            lo = jnp.where(d1 < 0.0, jnp.maximum(lo, alpha), lo)
+            hi = jnp.where(d1 >= 0.0, jnp.minimum(hi, alpha), hi)
+            a_newton = alpha - d1 / jnp.maximum(d2, tiny)
+            inside = (a_newton > lo) & (a_newton < hi)
+            a_next = jnp.where(inside, a_newton, 0.5 * (lo + hi))
+            d1_n, d2_n = phi_derivs(a_next)
+            return (lo, hi, a_next, d1_n, d2_n), None
+
+        d1_hi0, d2_hi0 = phi_derivs(hi)
+        (lo, hi, alpha, d1_f, _), _ = jax.lax.scan(
+            ls_body, (alpha0, hi, hi, d1_hi0, d2_hi0), None,
+            length=ls_iterations,
+        )
+        # land on the descent side of the bracket when φ'(final) > 0
+        alpha = jnp.where(d1_f <= 0.0, alpha, lo)
         # descent guard: converged iterates take a null step
         alpha = jnp.where(d1_0 < 0.0, alpha, 0.0)
         return x + alpha * p, None

@@ -362,31 +362,28 @@ def _noslip_pairs(A, b, f, hi, ns_offset: int, sweeps: int):
     return jax.lax.fori_loop(0, sweeps, ns_sweep, f)
 
 
-def solve_contacts(
+class Assembled(NamedTuple):
+    """The fully assembled constraint system (see solve_contacts docstring
+    for the row layout) plus the bookkeeping needed to scatter forces back
+    to candidate contact points."""
+
+    efc: Efc
+    nefc: Optional["newton.NewtonEfc"]  # set for Newton/CG models
+    ns_offset: int
+    cparts: list           # (efc, point_idx, rows_per_point, condim, ...)
+    pair_part: object
+
+
+def assemble(
     sys: S.System,
     con,
     qpos: jnp.ndarray,
     qvel: jnp.ndarray,
-    M_chol: jnp.ndarray,
-    qacc_smooth: jnp.ndarray,
     pair=None,
-    M: Optional[jnp.ndarray] = None,
-) -> ContactSolveOut:
-    """Full constraint solve: dof friction + joint limits + plane contacts
-    (+ optional body-body pair contacts), with top-K candidate selection.
-
-    Candidate points are statically grouped by condim (the condim of each
-    point is a compile-time constant).  With ``sys.max_contacts = K > 0``
-    the K deepest *condim-3* candidates enter the constraint system (MuJoCo
-    instantiates only detected contacts; this is the static-shape analog);
-    higher-condim points (e.g. the four anymal_c feet) are few and always
-    enter.  Forces are scattered back to the full candidate set for the
-    touch sensors.
-
-    Row layout: [dof friction | joint limits | condim-3 facets | condim>3
-    facets (ascending condim) | pair facets].  Every facet block keeps the
-    consecutive ±pair structure the noslip pass expects.
-    """
+) -> Assembled:
+    """Assemble every constraint row exactly as solve_contacts consumes it
+    (exposed separately so tests/probes can inspect the system row-by-row
+    against mjData.efc_*)."""
     condim = np.asarray(
         sys.cpoint_condim if len(sys.cpoint_condim) else (3,) * sys.ncp
     )
@@ -464,8 +461,8 @@ def solve_contacts(
     else:
         efc = parts[0]
 
+    nefc = None
     if use_newton:
-        assert M is not None, "Newton solve needs the mass matrix"
         cones = []
         if elliptic:
             off = ns_offset
@@ -490,6 +487,42 @@ def solve_contacts(
             fl=jnp.where(is_fl, efc.hi, 0.0),
             cones=tuple(cones),
         )
+    return Assembled(efc, nefc, ns_offset, cparts, pair_part)
+
+
+def solve_contacts(
+    sys: S.System,
+    con,
+    qpos: jnp.ndarray,
+    qvel: jnp.ndarray,
+    M_chol: jnp.ndarray,
+    qacc_smooth: jnp.ndarray,
+    pair=None,
+    M: Optional[jnp.ndarray] = None,
+) -> ContactSolveOut:
+    """Full constraint solve: dof friction + joint limits + plane contacts
+    (+ optional body-body pair contacts), with top-K candidate selection.
+
+    Candidate points are statically grouped by condim (the condim of each
+    point is a compile-time constant).  With ``sys.max_contacts = K > 0``
+    the K deepest *condim-3* candidates enter the constraint system (MuJoCo
+    instantiates only detected contacts; this is the static-shape analog);
+    higher-condim points (e.g. the four anymal_c feet) are few and always
+    enter.  Forces are scattered back to the full candidate set for the
+    touch sensors.
+
+    Row layout: [dof friction | joint limits | condim-3 facets | condim>3
+    facets (ascending condim) | pair facets].  Every facet block keeps the
+    consecutive ±pair structure the noslip pass expects.
+    """
+    asm = assemble(sys, con, qpos, qvel, pair=pair)
+    efc, nefc, ns_offset = asm.efc, asm.nefc, asm.ns_offset
+    cparts, pair_part = asm.cparts, asm.pair_part
+    use_newton = nefc is not None
+    elliptic = use_newton and sys.cone == S.ELLIPTIC
+
+    if use_newton:
+        assert M is not None, "Newton solve needs the mass matrix"
         nsol = newton.solve(
             nefc, M, qacc_smooth, sys.solver_iterations, sys.ls_iterations
         )
