@@ -19,7 +19,7 @@ import numpy as np
 
 from nightmare_rl_tpu.core import quat as Q
 from nightmare_rl_tpu.ops import linalg
-from nightmare_rl_tpu.physics import collision, dynamics, kinematics, solver
+from nightmare_rl_tpu.physics import arrow, collision, dynamics, kinematics, solver
 from nightmare_rl_tpu.physics import system as S
 
 
@@ -59,21 +59,32 @@ def forward(sys: S.System, state: S.State, ctrl: jnp.ndarray) -> ForwardOut:
     vel = kinematics.com_vel(sys, kin, qvel)
 
     M = dynamics.crb(sys, kin)
-    M_chol = linalg.chol(M)
 
     bias = dynamics.rne_bias(sys, kin, vel, qvel)
     act = dynamics.actuation(sys, qpos, qvel, ctrl)
     qfrc_passive = dynamics.passive(sys, qvel)
-
     qfrc_smooth = act.qfrc_actuator + qfrc_passive - bias
-    qacc_smooth = jax.scipy.linalg.cho_solve((M_chol, True), qfrc_smooth)
+
+    # Mass-matrix solves: block-arrow factorization when the kinematic tree
+    # is free-base + independent legs (both reference models), dense
+    # Cholesky otherwise.  Exact algebra either way.
+    lay = arrow.layout(sys)
+    if lay is not None:
+        fac = arrow.factor(lay, M)
+        M_chol = None
+        qacc_smooth = arrow.solve_vec(lay, fac, qfrc_smooth)
+        Minv = arrow.inv(lay, fac)
+    else:
+        M_chol = linalg.chol(M)
+        qacc_smooth = jax.scipy.linalg.cho_solve((M_chol, True), qfrc_smooth)
+        Minv = None
 
     con = collision.find_contacts(sys, kin)
     pair = None
     if sys.max_pair_contacts > 0 and len(sys.cpair_a) > 0:
         pair = collision.find_pair_contacts(sys, kin, con)
     sol = solver.solve_contacts(
-        sys, con, qpos, qvel, M_chol, qacc_smooth, pair=pair, M=M
+        sys, con, qpos, qvel, M_chol, qacc_smooth, pair=pair, M=M, Minv=Minv
     )
 
     # touch sensors: per-contact normal force = Σ pyramid facet forces
@@ -110,14 +121,20 @@ def step(sys: S.System, state: S.State, ctrl: jnp.ndarray, n_steps: int = 1) -> 
         fwd = forward(sys, state, ctrl)
         dt = sys.timestep
 
+        lay = arrow.layout(sys)
+
+        def _spd_solve(A, rhs):
+            if lay is not None:
+                return arrow.solve_vec(lay, arrow.factor(lay, A), rhs)
+            return jax.scipy.linalg.cho_solve((linalg.chol(A), True), rhs)
+
         if sys.integrator == S.IMPLICITFAST:
             # (M - h·∂f/∂v)·qacc = qfrc_smooth + qfrc_constraint, where the
             # velocity derivative has actuator (gear²·b2) and damping terms
             deriv = fwd.act.vel_deriv - sys.dof_damping  # diagonal of ∂f/∂v
             Mhat = fwd.M - dt * jnp.diag(deriv)
-            Lhat = linalg.chol(Mhat)
-            qacc = jax.scipy.linalg.cho_solve(
-                (Lhat, True), fwd.qfrc_smooth + fwd.sol.qfrc_constraint
+            qacc = _spd_solve(
+                Mhat, fwd.qfrc_smooth + fwd.sol.qfrc_constraint
             )
             qvel = state.qvel + dt * qacc
         elif sys.eulerdamp and bool(np.any(np.asarray(sys.dof_damping) > 0)):
@@ -127,9 +144,7 @@ def step(sys: S.System, state: S.State, ctrl: jnp.ndarray, n_steps: int = 1) -> 
             rhs = fwd.M @ state.qvel + dt * (
                 fwd.qfrc_smooth + fwd.sol.qfrc_constraint
             )
-            qvel = jax.scipy.linalg.cho_solve(
-                (linalg.chol(MhB), True), rhs
-            )
+            qvel = _spd_solve(MhB, rhs)
         else:
             qvel = state.qvel + dt * fwd.sol.qacc
         qpos = _integrate_pos(sys, state.qpos, qvel, dt)

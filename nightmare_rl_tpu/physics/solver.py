@@ -302,6 +302,7 @@ def solve(
     M_chol: jnp.ndarray,
     qacc_smooth: jnp.ndarray,
     ns_offset: int = 0,
+    Minv: Optional[jnp.ndarray] = None,
 ) -> SolveOut:
     """Dual box-PGS (zero start) with fixed sweeps, then noslip on the
     contact tangent pairs starting at row ns_offset.
@@ -313,9 +314,12 @@ def solve(
 
     # A = J M⁻¹ Jᵀ, formulated transpose-free (einsum contractions on
     # trailing dims): minor-dim transposes are pathological on this TPU stack.
-    # M⁻¹ comes from the unrolled triangular inverse (ops/linalg.py) — XLA's
-    # multi-rhs triangular solve lowers to sequential loops on TPU.
-    Minv = linalg.spd_inv_from_chol(M_chol)
+    # M⁻¹ is supplied by the caller from the block-arrow factorization
+    # (physics/arrow.py) when the topology allows; otherwise it comes from
+    # the unrolled triangular inverse (ops/linalg.py) — XLA's multi-rhs
+    # triangular solve lowers to sequential loops on TPU.
+    if Minv is None:
+        Minv = linalg.spd_inv_from_chol(M_chol)
     JMinv = efc.J @ Minv                                     # (nefc, nv)
     A = jnp.einsum("ik,jk->ij", JMinv, efc.J)                # (nefc, nefc)
     b = efc.J @ qacc_smooth - efc.aref
@@ -499,6 +503,7 @@ def solve_contacts(
     qacc_smooth: jnp.ndarray,
     pair=None,
     M: Optional[jnp.ndarray] = None,
+    Minv: Optional[jnp.ndarray] = None,
 ) -> ContactSolveOut:
     """Full constraint solve: dof friction + joint limits + plane contacts
     (+ optional body-body pair contacts), with top-K candidate selection.
@@ -528,7 +533,8 @@ def solve_contacts(
         )
         force = nsol.force
         if sys.noslip_iterations > 0 and not elliptic:
-            Minv = linalg.spd_inv_from_chol(M_chol)
+            if Minv is None:
+                Minv = linalg.spd_inv_from_chol(M_chol)
             JMinv = efc.J @ Minv
             A = jnp.einsum("ik,jk->ij", JMinv, efc.J)
             b = efc.J @ qacc_smooth - efc.aref
@@ -541,7 +547,9 @@ def solve_contacts(
         else:
             sol = SolveOut(force, nsol.qfrc_constraint, nsol.qacc)
     else:
-        sol = solve(sys, efc, M_chol, qacc_smooth, ns_offset=ns_offset)
+        sol = solve(
+            sys, efc, M_chol, qacc_smooth, ns_offset=ns_offset, Minv=Minv
+        )
 
     # normal force per candidate point, scattered back to the full candidate
     # set (touch sensors read the full set): Σ facet forces for pyramidal,

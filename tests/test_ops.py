@@ -113,3 +113,67 @@ def test_unrolled_chol_unbatched_and_f32():
         np.asarray(linalg.chol(M32)),
         np.asarray(jnp.linalg.cholesky(M32)), atol=1e-5,
     )
+
+
+# ---- block-arrow mass-matrix factorization (physics/arrow.py) ----
+
+def _real_M(name):
+    from nightmare_rl_tpu.physics import dynamics, kinematics, loader, pipeline
+
+    sys = loader.load_system(name)
+    state = pipeline.make_state(sys)
+    # perturb away from qpos0 so M is generic
+    q = np.asarray(state.qpos).copy()
+    q[7:] += np.linspace(-0.3, 0.3, q.size - 7)
+    kin = kinematics.kinematics(sys, jnp.asarray(q))
+    return sys, dynamics.crb(sys, kin)
+
+
+def test_arrow_layout_detects_both_models():
+    from nightmare_rl_tpu.physics import arrow, loader
+
+    lay = arrow.layout(loader.load_system("nightmare_v3"))
+    assert lay is not None and (lay.nbranch, lay.branch_size) == (6, 3)
+    lay = arrow.layout(loader.load_system("anymal_c"))
+    assert lay is not None and (lay.nbranch, lay.branch_size) == (4, 3)
+
+
+def test_arrow_factor_solve_inv_match_dense():
+    from nightmare_rl_tpu.ops import linalg
+    from nightmare_rl_tpu.physics import arrow
+
+    for name in ("nightmare_v3", "anymal_c"):
+        sys, M = _real_M(name)
+        lay = arrow.layout(sys)
+        fac = arrow.factor(lay, M)
+        Minv = arrow.inv(lay, fac)
+        L = linalg.chol(M)
+        np.testing.assert_allclose(
+            np.asarray(Minv), np.asarray(linalg.spd_inv_from_chol(L)),
+            atol=1e-10,
+        )
+        rng = np.random.default_rng(3)
+        b = jnp.asarray(rng.normal(size=sys.nv))
+        x = arrow.solve_vec(lay, fac, b)
+        np.testing.assert_allclose(
+            np.asarray(M @ x), np.asarray(b), atol=1e-10
+        )
+
+
+def test_arrow_solve_under_vmap():
+    from nightmare_rl_tpu.physics import arrow
+
+    sys, M = _real_M("nightmare_v3")
+    lay = arrow.layout(sys)
+    rng = np.random.default_rng(4)
+    # batch of diagonal-shifted matrices (the implicitfast Mhat pattern)
+    shifts = jnp.asarray(np.abs(rng.normal(size=(5, sys.nv))) * 0.1)
+    Ms = M[None] + jax.vmap(jnp.diag)(shifts)
+    bs = jnp.asarray(rng.normal(size=(5, sys.nv)))
+    xs = jax.vmap(lambda A, b: arrow.solve_vec(lay, arrow.factor(lay, A), b))(
+        Ms, bs
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.einsum("bij,bj->bi", Ms, xs)), np.asarray(bs),
+        atol=1e-10,
+    )
