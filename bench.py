@@ -1,12 +1,16 @@
-"""Headline benchmark: nightmare_v3 env throughput on one TPU chip.
+"""Headline benchmark: nightmare_v3 throughput on one TPU chip.
 
-Runs the FULL env step (batched physics ×decimation + observations + rewards
-+ terminations + masked resets) at 4096 parallel envs with random actions,
-mirroring what the training hot loop does per control step.
+Two measurements:
+1. full PPO training iteration (80-step rollout + GAE + 5x4 minibatch
+   update, the whole thing one XLA program) — what training actually runs;
+2. the FULL env step alone (batched physics ×decimation + observations +
+   rewards + terminations + masked resets) at 4096 parallel envs with
+   random actions.
 
-Prints ONE JSON line.  vs_baseline compares raw physics substeps/s against
-the reference's simple_test.py measurement in this container (71,308 mj_step
-substeps/s — BASELINE.md).
+Prints one JSON line per metric; the headline env-step line is printed LAST
+(the driver records the final line).  vs_baseline compares raw physics
+substeps/s against the reference's simple_test.py measurement in this
+container (71,308 mj_step substeps/s — BASELINE.md).
 """
 
 import json
@@ -15,7 +19,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-from nightmare_rl_tpu.core.config import EnvCfg, NightmareV3Cfg
+from nightmare_rl_tpu.core.config import EnvCfg, NightmareV3Cfg, PPOCfg
 from nightmare_rl_tpu.envs.nightmare_v3 import NightmareV3Env
 
 NUM_ENVS = 4096
@@ -23,9 +27,38 @@ STEPS = 20
 BASELINE_PHYS_STEPS_PER_S = 71_308.0
 
 
+def bench_ppo_iteration(env) -> None:
+    from nightmare_rl_tpu.rl.ppo import PPO
+
+    ppo = PPO(env, PPOCfg())
+    ts = ppo.init(0)
+    ts, stats = ppo.learn_step(ts)     # compile
+    float(stats["loss"])
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        ts, stats = ppo.learn_step(ts)
+        float(stats["loss"])           # honest device sync per iteration
+    wall = time.perf_counter() - t0
+    steps = iters * 80 * env.num_envs
+    print(
+        json.dumps(
+            {
+                "metric": "ppo_iter_env_steps_per_s_4096envs_1chip",
+                "value": round(steps / wall, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(
+                    steps / wall * 2 / BASELINE_PHYS_STEPS_PER_S, 3
+                ),
+            }
+        )
+    )
+
+
 def main() -> None:
     cfg = NightmareV3Cfg().replace(env=EnvCfg(num_envs=NUM_ENVS))
     env = NightmareV3Env(cfg)
+    bench_ppo_iteration(env)
 
     state = env.init(0)
     key = jax.random.PRNGKey(0)

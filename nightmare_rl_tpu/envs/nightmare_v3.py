@@ -74,6 +74,11 @@ class StepOut(NamedTuple):
     reward_terms: jnp.ndarray
     # episode sums captured at reset (nan where not reset) for metrics
     finished_episode_sums: jnp.ndarray
+    # post-step PRE-reset physics state, for training-time trajectory
+    # recording (the reference records env 0 before reset_idx runs,
+    # envs/nightmare_v3_env.py:261-274); DCE'd by XLA when unused
+    record_qpos: jnp.ndarray = ()
+    record_qvel: jnp.ndarray = ()
 
 
 def _gravity_vec(dtype):
@@ -347,6 +352,7 @@ class NightmareV3Env:
             new_state, obs,
             reward.astype(dtype),
             reset, time_out, reward_terms, finished_sums,
+            record_qpos=phys.qpos, record_qvel=phys.qvel,
         )
 
     def _noise_scale_vec(self) -> jnp.ndarray:

@@ -11,7 +11,7 @@ touch-sensor-site semantics that the reward/termination logic consumes
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +27,10 @@ class ForwardOut(NamedTuple):
     kin: kinematics.KinOut
     vel: kinematics.VelOut
     M: jnp.ndarray
-    M_chol: jnp.ndarray
+    # dense Cholesky of M, or None when the block-arrow factorization was
+    # used instead (arrow.layout(sys) is not None) — consumers must handle
+    # both; the solver takes M/Minv explicitly for that reason
+    M_chol: Optional[jnp.ndarray]
     qfrc_smooth: jnp.ndarray
     qacc_smooth: jnp.ndarray
     con: collision.Contacts

@@ -37,7 +37,9 @@ class TrainState:
     params: Any
     opt_state: Any
     lr: jnp.ndarray          # () adaptive learning rate
-    rng: jnp.ndarray
+    rng: jnp.ndarray         # (N, 2) one PRNG key PER ENV — action noise is
+    #                          then independent of how envs are sharded, so
+    #                          1-device and N-device rollouts are bit-identical
     env_state: Any           # batched EnvState
     obs: jnp.ndarray         # (N, num_obs) current observations
     iteration: jnp.ndarray   # () int32
@@ -57,15 +59,21 @@ class Transition(NamedTuple):
 
 class PPO:
     def __init__(self, env, cfg: PPOCfg, dtype=jnp.float32, axis_name=None,
-                 num_shards: int = 1):
+                 num_shards: int = 1, record_states: bool = False):
         """axis_name: when run under shard_map over a device mesh axis, the
         name of that axis — gradients, KL, and advantage statistics are then
-        pmean'd across it so every shard takes identical optimizer steps."""
+        pmean'd across it so every shard takes identical optimizer steps.
+
+        record_states: collect env 0's per-step (qpos, qvel, action, done)
+        into stats['record'] each iteration, for the training-time trajectory
+        recorder (reference envs/nightmare_v3_env.py:261-272).  Unsharded
+        runner only — ShardedPPO keeps it off (env 0 lives on one shard)."""
         self.env = env
         self.cfg = cfg
         self.dtype = dtype
         self.axis_name = axis_name
         self.num_shards = num_shards
+        self.record_states = record_states and axis_name is None
         p = cfg.policy
         self.recurrent = cfg.runner.policy_class_name == "ActorCriticRecurrent"
         if self.recurrent:
@@ -111,7 +119,7 @@ class PPO:
             params=params,
             opt_state=opt_state,
             lr=jnp.asarray(self.cfg.algorithm.learning_rate, self.dtype),
-            rng=rng,
+            rng=jax.random.split(rng, self.env.num_envs),  # per-env keys
             env_state=env_state,
             obs=obs,
             iteration=jnp.zeros((), jnp.int32),
@@ -120,13 +128,16 @@ class PPO:
 
     def randomize_episode_lengths(self, ts: TrainState) -> TrainState:
         """init_at_random_ep_len=True (train.py:54): spread initial episode
-        lengths uniformly so resets decorrelate."""
-        rng, k = jax.random.split(ts.rng)
-        lens = jax.random.randint(
-            k, (self.env.num_envs,), 0, self.env.max_episode_length, jnp.int32
-        )
+        lengths uniformly so resets decorrelate.  Derived per-env (fold_in)
+        so the result is independent of sharding."""
+        lens = jax.vmap(
+            lambda k: jax.random.randint(
+                jax.random.fold_in(k, 17), (), 0,
+                self.env.max_episode_length, jnp.int32,
+            )
+        )(ts.rng)
         env_state = ts.env_state.replace(episode_length=lens)
-        return ts.replace(rng=rng, env_state=env_state)
+        return ts.replace(env_state=env_state)
 
     # ------------------------------------------------------------------
 
@@ -139,14 +150,17 @@ class PPO:
 
         def step(carry, _):
             env_state, obs, rng, hidden = carry
-            rng, k = jax.random.split(rng)
+            # advance each env's own key: action noise is a function of the
+            # env, not of the shard layout
+            ks = jax.vmap(jax.random.split)(rng)   # (N, 2, 2)
+            rng, k = ks[:, 0], ks[:, 1]
             if self.recurrent:
                 (mu, std, value), hidden = self.net.apply(
                     ts.params, obs, hidden
                 )
             else:
                 mu, std, value = self._policy(ts.params, obs)
-            action = ac.sample_action(k, mu, std)
+            action = jax.vmap(ac.sample_action)(k, mu, std)
             logp = ac.log_prob(mu, std, action)
             out = self.env.step(env_state, action)
             if self.recurrent:
@@ -155,12 +169,18 @@ class PPO:
             reward = out.reward + gamma * value * out.time_out.astype(value.dtype)
             tr = Transition(obs, action, reward, out.done, value, logp, mu, std)
             metrics = (out.reward_terms, out.finished_episode_sums, out.done)
-            return (out.state, out.obs, rng, hidden), (tr, metrics)
+            if self.record_states:
+                # env 0's pre-reset state this step; XLA keeps only row 0
+                rec = (out.record_qpos[0], out.record_qvel[0],
+                       action[0], out.done[0], out.state.commands[0])
+            else:
+                rec = ()
+            return (out.state, out.obs, rng, hidden), (tr, metrics, rec)
 
-        (env_state, obs, rng, hidden), (traj, metrics) = jax.lax.scan(
+        (env_state, obs, rng, hidden), (traj, metrics, rec) = jax.lax.scan(
             step, (ts.env_state, ts.obs, ts.rng, ts.hidden), None, length=T
         )
-        return env_state, obs, rng, hidden, traj, metrics
+        return env_state, obs, rng, hidden, traj, metrics, rec
 
     def _gae(self, traj: Transition, last_value):
         a = self.cfg.algorithm
@@ -240,7 +260,9 @@ class PPO:
         a = self.cfg.algorithm
         T, N = traj.reward.shape
         nmb = a.num_mini_batches
-        rng, k = jax.random.split(rng)
+        # shard-local permutation, derived without consuming the per-env
+        # stream (rng[0] advances every rollout step, so this varies per iter)
+        k = jax.random.fold_in(rng[0], 23)
         perm = jax.random.permutation(k, N).reshape(nmb, N // nmb)
         idxs = jnp.tile(perm, (a.num_learning_epochs, 1))
 
@@ -303,7 +325,7 @@ class PPO:
 
         nmb = a.num_mini_batches
         mb_size = B // nmb
-        rng, k = jax.random.split(rng)
+        k = jax.random.fold_in(rng[0], 23)
         perm = jax.random.permutation(k, B)  # one permutation, all epochs
 
         def minibatch_step(carry, idx):
@@ -352,7 +374,7 @@ class PPO:
     def _iteration(self, ts: TrainState):
         env_state, obs, rng, hidden, traj, (
             reward_terms, finished_sums, dones
-        ) = self._rollout(ts)
+        ), rec = self._rollout(ts)
         if self.recurrent:
             (_, _, last_value), _ = self.net.apply(ts.params, obs, hidden)
         else:
@@ -387,6 +409,9 @@ class PPO:
             dones=self._psum(dones.sum()),
             episode_reward_means=ep_means,
         )
+        if self.record_states:
+            # (qpos, qvel, action, done, commands), each (T, ·)
+            stats["record"] = rec
         return new_ts, stats
 
     # ------------------------------------------------------------------

@@ -23,15 +23,102 @@ import numpy as np
 from nightmare_rl_tpu.core.config import PPOCfg
 from nightmare_rl_tpu.rl.ppo import PPO, TrainState
 from nightmare_rl_tpu.utils import checkpoint as ckpt
+from nightmare_rl_tpu.utils.recorder import StateRecorder
+
+
+class JsonlWriter:
+    """Metrics sink used when torch.utils.tensorboard is unavailable — a
+    TPU-native framework must not need torch to log.  One JSON object per
+    add_scalar, appended to <log_dir>/metrics.jsonl."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self._f = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+
+    def add_scalar(self, tag: str, value: float, step: int) -> None:
+        import json
+
+        self._f.write(json.dumps({"tag": tag, "value": value, "step": step}))
+        self._f.write("\n")
+
+    def flush(self) -> None:
+        self._f.flush()
+
+
+class TrainingViewer:
+    """Render-during-training parity (reference cfg.viewer.render syncs a
+    viewer every env step, envs/nightmare_v3_env.py:373-390): env 0's frames
+    from each rollout window are injected into a passive mujoco.viewer with
+    the commanded-velocity arrow drawn.  Headless-safe: disables itself if no
+    display/viewer is available."""
+
+    def __init__(self, xml: str):
+        self._viewer = None
+        self._dead = False
+        self._xml = xml
+
+    def show(self, qpos, cmd) -> None:
+        if self._dead:
+            return
+        try:
+            import mujoco as mj
+
+            if self._viewer is None:
+                import mujoco.viewer as mjv
+
+                self._m = mj.MjModel.from_xml_path(self._xml)
+                self._d = mj.MjData(self._m)
+                self._viewer = mjv.launch_passive(self._m, self._d)
+            from nightmare_rl_tpu.tools.play import draw_command_arrow
+
+            for k in range(qpos.shape[0]):
+                if not self._viewer.is_running():
+                    self._dead = True
+                    return
+                self._d.qpos[:] = np.asarray(qpos[k], np.float64)
+                mj.mj_forward(self._m, self._d)
+                draw_command_arrow(self._viewer, self._d.qpos, cmd[k])
+                self._viewer.cam.lookat = self._d.qpos[:3]
+                self._viewer.sync()
+        except Exception as e:
+            print(f"viewer unavailable, disabling render: {e}")
+            self._dead = True
 
 
 class OnPolicyRunner:
     def __init__(self, env, cfg: PPOCfg, log_dir: Optional[str] = None,
-                 writer=None):
+                 writer=None, mesh=None):
+        """mesh: a jax.sharding.Mesh — envs are then sharded over it via
+        ShardedPPO and the same runner drives the multi-device training
+        (checkpoints, metrics, preemption handling all included)."""
         self.env = env
         self.cfg = cfg
         self.log_dir = log_dir
-        self.ppo = PPO(env, cfg)
+        # training-time trajectory recording (reference records env 0 by
+        # default, cfg.viewer.record_states / envs/nightmare_v3_env.py:261-272)
+        # and render-during-training; both consume the same env-0 stream
+        viewer_cfg = getattr(env.cfg, "viewer", None)
+        record = (
+            log_dir is not None
+            and getattr(viewer_cfg, "record_states", False)
+        )
+        render = getattr(viewer_cfg, "render", False)
+        if mesh is not None:
+            from nightmare_rl_tpu.parallel.mesh import ShardedPPO
+
+            self.ppo = ShardedPPO(env, cfg, mesh)
+            record = False  # env 0 lives on one shard; see ShardedPPO
+            render = False
+        else:
+            self.ppo = PPO(env, cfg, record_states=record or render)
+        self.recorder = (
+            StateRecorder(log_dir, dt=env.dt) if record else None
+        )
+        self.viewer = (
+            TrainingViewer(getattr(viewer_cfg, "xml_path",
+                           "/root/reference/models/nightmare_v3/mjmodel.xml"))
+            if render else None
+        )
         self.ts: TrainState | None = None
         self.writer = writer
         self._writer_pending = writer is None and log_dir is not None
@@ -80,7 +167,7 @@ class OnPolicyRunner:
 
                 self.writer = SummaryWriter(log_dir=self.log_dir)
             except Exception:
-                self.writer = None
+                self.writer = JsonlWriter(self.log_dir)
 
         steps_per_iter = (
             self.cfg.runner.num_steps_per_env * self.env.num_envs
@@ -92,6 +179,12 @@ class OnPolicyRunner:
             t0 = time.time()
             self.ts, stats = self.ppo.learn_step(self.ts)
             loss = float(stats["loss"])  # device->host sync (honest timing)
+            if self.ppo.record_states:
+                qp, qv, act, done, cmd = stats["record"]
+                if self.recorder is not None:
+                    self.recorder.add_steps(qp, qv, act, done)
+                if self.viewer is not None:
+                    self.viewer.show(np.asarray(qp), np.asarray(cmd))
             dt_iter = time.time() - t0
             it = int(self.ts.iteration)
             if profile_dir and k == 4:

@@ -94,6 +94,31 @@ def main() -> None:
         replay_in_viewer(traj)
 
 
+def draw_command_arrow(viewer, qpos, cmd) -> None:
+    """Draw the commanded-velocity arrow in the viewer's user scene, like the
+    reference does during policy play (play.py:143-156): world-frame vector =
+    base_quat · [vx, −ωz, 0], white arrow anchored 0.5 m above the base."""
+    import mujoco as mj
+    import numpy as np
+
+    vec = np.array([cmd[0], -cmd[2], 0.0])
+    mj.mju_rotVecQuat(vec, vec, np.asarray(qpos[3:7], np.float64))
+    scn = viewer.user_scn
+    scn.ngeom = 0
+    if np.linalg.norm(vec) < 1e-6:
+        return
+    base = np.array([qpos[0], qpos[1], qpos[2] + 0.5])
+    g = scn.geoms[0]
+    mj.mjv_initGeom(
+        g, type=mj.mjtGeom.mjGEOM_ARROW,
+        size=np.array([0.02, 0.02, 1.0]),
+        pos=np.zeros(3), mat=np.eye(3).flatten(),
+        rgba=np.array([1.0, 1.0, 1.0, 1.0], np.float32),
+    )
+    mj.mjv_connector(g, mj.mjtGeom.mjGEOM_ARROW, 0.02, base, base + vec)
+    scn.ngeom = 1
+
+
 def live_teleop(args):
     """Interactive policy teleop: the policy steps our TPU physics while a
     passive mujoco.viewer mirrors env 0 by state injection and pynput keys
@@ -161,6 +186,7 @@ def live_teleop(args):
             d.qpos[:] = np.asarray(state.phys.qpos[0])
             d.qvel[:] = np.asarray(state.phys.qvel[0])
             mj.mj_forward(m, d)
+            draw_command_arrow(viewer, d.qpos, cmd)
             viewer.cam.lookat = d.qpos[:3]
             viewer.sync()
             frames += 1

@@ -57,30 +57,14 @@ def main() -> None:
         cfg = NightmareV3Cfg().replace(env=EnvCfg(num_envs=args.num_envs))
         env = NightmareV3Env(cfg)
 
+    mesh = None
     if args.mesh:
-        import jax
-        from nightmare_rl_tpu.parallel.mesh import ShardedPPO, make_mesh
+        from nightmare_rl_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
         print(f"mesh: {mesh}")
-        trainer = ShardedPPO(env, pcfg, mesh)
-        ts = trainer.init(args.seed)
-        ts = trainer.randomize_episode_lengths(ts)
-        import time
 
-        steps_per_iter = pcfg.runner.num_steps_per_env * env.num_envs
-        for k in range(args.iterations):
-            t0 = time.time()
-            ts, stats = trainer.learn_step(ts)
-            jax.block_until_ready(stats["loss"])
-            if k % 10 == 0:
-                print(
-                    f"iter {k}: reward {float(stats['mean_reward']):+.4f} "
-                    f"({steps_per_iter / (time.time() - t0):,.0f} env-steps/s)"
-                )
-        return
-
-    runner = OnPolicyRunner(env, pcfg, log_dir=log_dir)
+    runner = OnPolicyRunner(env, pcfg, log_dir=log_dir, mesh=mesh)
     runner.init(args.seed)
     if args.resume:
         root = args.resume_path if args.resume_path else log_root

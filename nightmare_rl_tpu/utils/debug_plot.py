@@ -25,11 +25,23 @@ class DebugPlot:
         import matplotlib
 
         if interactive is None:
-            interactive = bool(os.environ.get("DISPLAY"))
+            # a display alone isn't enough: MPLBACKEND=Agg (or an already-
+            # selected non-GUI backend) means plt.pause would just sleep
+            forced = os.environ.get("MPLBACKEND", "")
+            interactive = (
+                bool(os.environ.get("DISPLAY"))
+                and forced.lower() not in ("agg", "pdf", "svg", "ps", "template")
+            )
         if not interactive:
-            matplotlib.use("Agg")
+            matplotlib.use("Agg", force=False)
         import matplotlib.pyplot as plt
 
+        # if another import already pinned a non-interactive backend, don't
+        # pretend to be live
+        if interactive and matplotlib.get_backend().lower() in (
+            "agg", "pdf", "svg", "ps", "template"
+        ):
+            interactive = False
         self._plt = plt
         self._interactive = interactive
         self.fig, self.ax = plt.subplots()

@@ -91,17 +91,6 @@ def delassus(state):
     return jax.lax.scan(body, 0.0, None, length=STEPS)[0]
 
 
-def full(state):
-    def body(carry, _):
-        s = pipeline.step(
-            jax.tree_util.tree_map(lambda x: x, state), carry * 0.0, 1
-        )
-        return carry, None
-
-    # full env step instead: use env._step_batch
-    return None
-
-
 timed("smooth dynamics", smooth_only, state0)
 timed("+ contact rows", rows_only, state0)
 timed("+ delassus build", delassus, state0)

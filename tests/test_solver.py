@@ -151,3 +151,40 @@ def test_grounded_step_close(ctx):
     st = pipeline.step(sysP, st, jnp.array(ctrl), 1)
     np.testing.assert_allclose(np.asarray(st.qpos), d.qpos, atol=5e-3)
     np.testing.assert_allclose(np.asarray(st.qvel), d.qvel, atol=0.5)
+
+
+def test_grounded_convergence_with_iterations(ctx):
+    """Substantiates PARITY.md deviation #1: our fixed-order PGS and
+    MuJoCo's permuted-order PGS solve the same regularized QP, so raising
+    the iteration budget must shrink the single-step gap toward zero.
+    Asserts the gap decreases monotonically in the budget and lands ~1e-6
+    at 100 iterations (vs the documented ~1e-1 transient bound at 3)."""
+    m, d, sys = ctx
+    orig_iters, orig_noslip = m.opt.iterations, m.opt.noslip_iterations
+    m.opt.noslip_iterations = 0
+    qpos, qvel, ctrl = None, None, None
+    for seed in range(3, 10):
+        qpos, qvel, ctrl = settled_state(m, d, seed=seed, steps=200)
+        mj.mj_forward(m, d)
+        if d.ncon > 0:
+            break
+    assert d.ncon > 0
+    sysP = inject_their_contacts(sys, m, d)
+    sysP = dataclasses.replace(sysP, noslip_iterations=0)
+
+    errs = []
+    for iters in (3, 10, 30, 100):
+        m.opt.iterations = iters
+        d.qpos[:], d.qvel[:], d.ctrl[:] = qpos, qvel, ctrl
+        mj.mj_step(m, d)
+        sysI = dataclasses.replace(sysP, solver_iterations=iters)
+        st = pipeline.make_state(sysI).replace(
+            qpos=jnp.array(qpos), qvel=jnp.array(qvel)
+        )
+        st = pipeline.step(sysI, st, jnp.array(ctrl), 1)
+        errs.append(float(np.max(np.abs(np.asarray(st.qvel) - d.qvel))))
+    m.opt.iterations, m.opt.noslip_iterations = orig_iters, orig_noslip
+
+    assert errs[1] < errs[0] and errs[2] < errs[1] and errs[3] < errs[2], errs
+    assert errs[3] < 1e-5, errs
+    assert errs[3] < errs[0] * 1e-2 or errs[0] < 1e-6, errs
