@@ -1,0 +1,62 @@
+#!/bin/bash
+# Stall-resilient training driver for the axon-tunneled dev TPU: the tunnel
+# has been observed to wedge after ~45 min of continuous stepping, freezing
+# the client mid-iteration.  This supervisor runs training in bounded chunks
+# and resumes from the latest orbax checkpoint (deterministic TrainState
+# resume) whenever a chunk exits or stalls (no event-file growth for
+# STALL_SECS).  On a healthy TPU pod none of this is needed — it is a
+# dev-box harness, equivalent in spirit to the preemption-recovery flow
+# (SIGTERM -> checkpoint -> -r).
+#
+#   scripts/train_supervised.sh <log_root> <envs> <target_iter> [chunk=500] [seed=1]
+
+set -u
+LOG_ROOT=${1:?log_root}
+ENVS=${2:?envs}
+TARGET=${3:?target_iter}
+CHUNK=${4:-500}
+SEED=${5:-1}
+STALL_SECS=180
+
+latest_iter() {
+  ls "$LOG_ROOT"/*/model_* 2>/dev/null -d | sed 's/.*model_//' | sort -n | tail -1
+}
+
+evfile() {
+  ls -t "$LOG_ROOT"/*/events.out.tfevents.* 2>/dev/null | head -1
+}
+
+while true; do
+  cur=$(latest_iter); cur=${cur:-0}
+  if [ "$cur" -ge "$TARGET" ]; then
+    echo "supervisor: reached iter $cur >= $TARGET, done"
+    break
+  fi
+  todo=$(( TARGET - cur )); [ "$todo" -gt "$CHUNK" ] && todo=$CHUNK
+  if [ "$cur" -gt 0 ]; then
+    RESUME=(-r -p "$LOG_ROOT")
+  else
+    RESUME=()
+  fi
+  echo "supervisor: at iter $cur, launching chunk of $todo"
+  python -u -m nightmare_rl_tpu.tools.train -e "$ENVS" -n "$todo" \
+    --seed "$SEED" "${RESUME[@]}" --log_root "$LOG_ROOT" &
+  PID=$!
+  # watch for stalls: kill the chunk if the newest event file stops growing
+  last_size=0; last_change=$(date +%s)
+  while kill -0 "$PID" 2>/dev/null; do
+    sleep 30
+    ev=$(evfile)
+    size=$(stat -c %s "$ev" 2>/dev/null || echo 0)
+    now=$(date +%s)
+    if [ "$size" != "$last_size" ]; then
+      last_size=$size; last_change=$now
+    elif [ $(( now - last_change )) -gt "$STALL_SECS" ]; then
+      echo "supervisor: stall detected ($(( now - last_change ))s no progress), killing $PID"
+      kill "$PID"; sleep 15; kill -9 "$PID" 2>/dev/null
+      break
+    fi
+  done
+  wait "$PID" 2>/dev/null
+  sleep 5
+done

@@ -275,5 +275,6 @@ def test_mjx_npz_grounded_step_vs_mujoco():
         qpos=jnp.array(qpos), qvel=jnp.array(qvel)
     )
     st = pipeline.step(sysP, st, jnp.array(ctrl), 1)
-    np.testing.assert_allclose(np.asarray(st.qpos), d.qpos, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(st.qvel), d.qvel, atol=1e-4)
+    # measured: qpos ~7e-18, qvel ~4e-15 — the Newton fixed point is exact
+    np.testing.assert_allclose(np.asarray(st.qpos), d.qpos, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st.qvel), d.qvel, atol=1e-11)

