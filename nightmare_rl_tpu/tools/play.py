@@ -71,19 +71,37 @@ def main() -> None:
     def policy_step(params, state, obs):
         mu = net.apply(params, obs, method=ActorCritic.act_inference)
         out = env._step_batch(state.replace(commands=cmd), mu)
-        return out.state, out.obs, out.reward
+        # body-frame velocities the tracking rewards see: obs[0:3] is
+        # lin_vel * 2.0, obs[3:6] is ang_vel * 0.25 (obs scales,
+        # reference nightmare_v3_config.py:67-72)
+        vel = jnp.concatenate([out.obs[0, :3] / 2.0, out.obs[0, 3:6] / 0.25])
+        return out.state, out.obs, out.reward, out.done[0], out.time_out[0], vel
 
-    traj = []
+    traj, vels = [], []
+    falls = timeouts = 0
     t = 0.0
     for k in range(args.steps):
-        state, obs, rew = policy_step(params, state, obs)
+        state, obs, rew, done, time_out, vel = policy_step(params, state, obs)
         traj.append(
             (t, np.asarray(state.phys.qpos[0]).astype(np.float64),
              np.asarray(state.phys.qvel[0]).astype(np.float64), np.zeros(0))
         )
+        vels.append(np.asarray(vel))
+        if bool(done):
+            if bool(time_out):
+                timeouts += 1
+            else:
+                falls += 1
         t += env.dt
-    print(f"rolled out {args.steps} steps; final base pos "
-          f"{np.asarray(state.phys.qpos[0][:3]).round(3)}")
+    vels = np.stack(vels)
+    # skip the first second (reset transient / getting into gait)
+    settle = min(int(1.0 / env.dt), len(vels) // 2)
+    vx_mean, wz_mean = vels[settle:, 0].mean(), vels[settle:, 5].mean()
+    print(f"rolled out {args.steps} steps ({args.steps * env.dt:.1f} s); "
+          f"final base pos {np.asarray(state.phys.qpos[0][:3]).round(3)}")
+    print(f"eval: cmd vx={args.vx:+.2f} wz={args.wz:+.2f} | achieved "
+          f"vx={vx_mean:+.3f} wz={wz_mean:+.3f} (mean after {settle} steps) | "
+          f"falls={falls} timeouts={timeouts}")
 
     if args.out:
         with open(args.out, "wb") as f:
