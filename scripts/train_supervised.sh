@@ -16,7 +16,9 @@ ENVS=${2:?envs}
 TARGET=${3:?target_iter}
 CHUNK=${4:-500}
 SEED=${5:-1}
-STALL_SECS=180
+# must exceed resume+compile (~3 min with no event-file growth) or healthy
+# restarts get killed mid-compile
+STALL_SECS=300
 
 latest_iter() {
   ls "$LOG_ROOT"/*/model_* 2>/dev/null -d | sed 's/.*model_//' | sort -n | tail -1
@@ -24,6 +26,23 @@ latest_iter() {
 
 evfile() {
   ls -t "$LOG_ROOT"/*/events.out.tfevents.* 2>/dev/null | head -1
+}
+
+wait_tpu() {
+  # after a stall-kill the tunnel stays poisoned until every client is gone
+  # and it has quiesced (~90 s observed); relaunching into a wedged tunnel
+  # just hangs the next chunk in restore/compile.  Probe with a tiny op
+  # until the chip answers.
+  sleep 60
+  for i in $(seq 1 20); do
+    if timeout 45 python -c "import jax, jax.numpy as jnp; print(float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()))" >/dev/null 2>&1; then
+      echo "supervisor: TPU responsive again (probe $i)"
+      return 0
+    fi
+    echo "supervisor: TPU still wedged (probe $i), waiting"
+    sleep 30
+  done
+  echo "supervisor: TPU never came back after 20 probes; launching anyway"
 }
 
 while true; do
@@ -58,5 +77,5 @@ while true; do
     fi
   done
   wait "$PID" 2>/dev/null
-  sleep 5
+  wait_tpu
 done
