@@ -309,23 +309,26 @@ def solve(
 
     The iteration itself lives in ops/pgs.py: a lax.scan reference for
     unbatched callers that upgrades to the fused Pallas TPU kernel under vmap
-    (one kernel launch for the whole env batch, all sweeps in VMEM)."""
+    (one kernel launch for the whole env batch, all sweeps in VMEM).  The
+    core is matrix-free — it consumes J and U = J M⁻¹ and never assembles
+    the Delassus matrix A = J M⁻¹ Jᵀ, whose (nefc × nefc from nefc × nv)
+    construction used to dominate the physics step's FLOPs.
+
+    M⁻¹ is supplied by the caller from the block-arrow factorization
+    (physics/arrow.py) when the topology allows; otherwise it comes from
+    the unrolled triangular inverse (ops/linalg.py) — XLA's multi-rhs
+    triangular solve lowers to sequential loops on TPU.  All contractions
+    are formulated transpose-free (einsums on trailing dims): minor-dim
+    transposes are pathological on this TPU stack."""
     from nightmare_rl_tpu.ops.pgs import pgs_core
 
-    # A = J M⁻¹ Jᵀ, formulated transpose-free (einsum contractions on
-    # trailing dims): minor-dim transposes are pathological on this TPU stack.
-    # M⁻¹ is supplied by the caller from the block-arrow factorization
-    # (physics/arrow.py) when the topology allows; otherwise it comes from
-    # the unrolled triangular inverse (ops/linalg.py) — XLA's multi-rhs
-    # triangular solve lowers to sequential loops on TPU.
     if Minv is None:
         Minv = linalg.spd_inv_from_chol(M_chol)
-    JMinv = efc.J @ Minv                                     # (nefc, nv)
-    A = jnp.einsum("ik,jk->ij", JMinv, efc.J)                # (nefc, nefc)
+    U = efc.J @ Minv                                         # (nefc, nv)
     b = efc.J @ qacc_smooth - efc.aref
 
     core = pgs_core(sys.solver_iterations, sys.noslip_iterations, ns_offset)
-    f = core(A, b, efc.R, efc.lo, efc.hi)
+    f = core(efc.J, U, b, efc.R, efc.lo, efc.hi)
 
     qfrc = jnp.einsum("kn,k->n", efc.J, f)
     qacc = qacc_smooth + Minv @ qfrc

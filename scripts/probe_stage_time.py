@@ -91,9 +91,29 @@ def delassus(state):
     return jax.lax.scan(body, 0.0, None, length=STEPS)[0]
 
 
+def full_solve(state):
+    """Everything the substep's dynamics does: smooth + rows + matrix-free
+    PGS (the Delassus matrix is no longer built in the hot path; the
+    `delassus` stage above times the old explicit build for comparison)."""
+    def one(qpos, qvel, ctrl):
+        st = state_template._replace(qpos=qpos, qvel=qvel)
+        return pipeline.forward(sys_, st, ctrl).sol.qacc.sum()
+
+    state_template = pipeline.make_state(sys_)
+
+    def body(c, _):
+        q = jax.vmap(one, in_axes=(0, 0, None))(
+            state.qpos, state.qvel, jnp.zeros(sys_.nu, sys_.dtype)
+        )
+        return c + q.sum(), None
+
+    return jax.lax.scan(body, 0.0, None, length=STEPS)[0]
+
+
 timed("smooth dynamics", smooth_only, state0)
 timed("+ contact rows", rows_only, state0)
 timed("+ delassus build", delassus, state0)
+timed("+ full solve", full_solve, state0)
 
 
 def full_env(state, key):

@@ -1,4 +1,4 @@
-"""Pallas PGS kernel ≡ scan reference (interpret mode on CPU)."""
+"""Matrix-free PGS ≡ explicit-A oracle; Pallas kernel ≡ scan reference."""
 
 import numpy as np
 import jax
@@ -7,9 +7,12 @@ import jax.numpy as jnp
 from nightmare_rl_tpu.ops import pgs
 
 
-def _random_problem(rng, N, nefc, ns_offset=0):
-    G = rng.normal(size=(N, nefc, nefc))
-    A = G @ G.transpose(0, 2, 1) + np.eye(nefc) * 0.1
+def _random_problem(rng, N, nefc, nv, ns_offset=0):
+    """Random constraint systems in the solver's native (J, M⁻¹) form."""
+    J = rng.normal(size=(N, nefc, nv))
+    G = rng.normal(size=(N, nv, nv))
+    Minv = G @ G.transpose(0, 2, 1) + np.eye(nv) * 0.1
+    U = J @ Minv
     b = rng.normal(size=(N, nefc)) * 5
     R = np.abs(rng.normal(size=(N, nefc))) + 0.01
     lo = np.zeros((N, nefc))
@@ -21,28 +24,65 @@ def _random_problem(rng, N, nefc, ns_offset=0):
     inact = rng.random((N, (nefc - ns_offset) // 2)) < 0.3
     inact = np.repeat(inact, 2, axis=1)
     hi[:, ns_offset:] = np.where(inact, 0.0, hi[:, ns_offset:])
-    return tuple(jnp.array(x) for x in (A, b, R, lo, hi))
+    return tuple(jnp.array(x) for x in (J, U, b, R, lo, hi))
+
+
+def _explicit_A_oracle(J, U, b, R, lo, hi, iterations, noslip, ns_offset):
+    """The classic dual PGS over an assembled A = J M⁻¹ Jᵀ = U Jᵀ — the
+    formulation the matrix-free core must reproduce (numpy, one env)."""
+    A = np.asarray(U) @ np.asarray(J).T
+    b, R, lo, hi = (np.asarray(x) for x in (b, R, lo, hi))
+    nefc = b.shape[0]
+    diag = np.diagonal(A)
+    inv_d = 1.0 / np.maximum(diag + R, 1e-12)
+    f = np.zeros(nefc)
+    for _ in range(iterations):
+        for r in range(nefc):
+            g = A[r] @ f + b[r] + R[r] * f[r]
+            f[r] = np.clip(f[r] - g * inv_d[r], lo[r], hi[r])
+    npairs = (nefc - ns_offset) // 2
+    for _ in range(noslip if npairs > 0 else 0):
+        for p in range(npairs):
+            i, j = ns_offset + 2 * p, ns_offset + 2 * p + 1
+            s = f[i] + f[j]
+            g = (A[i] - A[j]) @ f + b[i] - b[j]
+            h = diag[i] + diag[j] - 2.0 * A[i, j]
+            y = 0.5 * (f[i] - f[j]) - g / max(h, 1e-12)
+            y = np.clip(y, -0.5 * s, 0.5 * s)
+            if hi[i] > 0:
+                f[i], f[j] = 0.5 * s + y, 0.5 * s - y
+    return f
+
+
+def test_matrix_free_matches_explicit_A():
+    rng = np.random.default_rng(5)
+    J, U, b, R, lo, hi = _random_problem(rng, 6, 16, 12, ns_offset=2)
+    for e in range(6):
+        ref = _explicit_A_oracle(J[e], U[e], b[e], R[e], lo[e], hi[e],
+                                 3, 4, 2)
+        out = pgs._scan_core(J[e], U[e], b[e], R[e], lo[e], hi[e], 3, 4, 2)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-9)
 
 
 def test_kernel_matches_scan_reference():
     rng = np.random.default_rng(0)
-    A, b, R, lo, hi = _random_problem(rng, 8, 16)
+    J, U, b, R, lo, hi = _random_problem(rng, 8, 16, 12)
     ref = jax.vmap(
-        lambda a, bb, rr, l, h: pgs._scan_core(a, bb, rr, l, h, 3, 4, 0)
-    )(A, b, R, lo, hi)
-    out = pgs.pgs_solve(A, b, R, lo, hi, iterations=3, noslip=4,
+        lambda j, u, bb, rr, l, h: pgs._scan_core(j, u, bb, rr, l, h, 3, 4, 0)
+    )(J, U, b, R, lo, hi)
+    out = pgs.pgs_solve(J, U, b, R, lo, hi, iterations=3, noslip=4,
                         block_envs=4, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
 
 
 def test_kernel_with_dof_rows():
     rng = np.random.default_rng(2)
-    A, b, R, lo, hi = _random_problem(rng, 4, 20, ns_offset=4)
+    J, U, b, R, lo, hi = _random_problem(rng, 4, 20, 12, ns_offset=4)
     ref = jax.vmap(
-        lambda a, bb, rr, l, h: pgs._scan_core(a, bb, rr, l, h, 3, 4, 4)
-    )(A, b, R, lo, hi)
-    out = pgs.pgs_solve(A, b, R, lo, hi, iterations=3, noslip=4, ns_offset=4,
-                        block_envs=4, interpret=True)
+        lambda j, u, bb, rr, l, h: pgs._scan_core(j, u, bb, rr, l, h, 3, 4, 4)
+    )(J, U, b, R, lo, hi)
+    out = pgs.pgs_solve(J, U, b, R, lo, hi, iterations=3, noslip=4,
+                        ns_offset=4, block_envs=4, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
     # friction rows respect their box bounds
     assert float(jnp.max(jnp.abs(out[:, :4]))) <= 2.0 + 1e-9
@@ -50,10 +90,10 @@ def test_kernel_with_dof_rows():
 
 def test_custom_vmap_dispatch():
     rng = np.random.default_rng(1)
-    A, b, R, lo, hi = _random_problem(rng, 4, 8)
+    J, U, b, R, lo, hi = _random_problem(rng, 4, 8, 6)
     core = pgs.pgs_core(3, 4, 0)
-    single = core(A[0], b[0], R[0], lo[0], hi[0])
-    batched = jax.vmap(core)(A, b, R, lo, hi)
+    single = core(J[0], U[0], b[0], R[0], lo[0], hi[0])
+    batched = jax.vmap(core)(J, U, b, R, lo, hi)
     np.testing.assert_allclose(
         np.asarray(batched[0]), np.asarray(single), atol=1e-12
     )
