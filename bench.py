@@ -27,15 +27,25 @@ STEPS = 20
 BASELINE_PHYS_STEPS_PER_S = 71_308.0
 
 
-def bench_ppo_iteration(env) -> None:
+PPO_ENVS = 2048  # the training CLI's default scale (reference train.py:12)
+
+
+def bench_ppo_iteration() -> None:
+    """Full PPO iteration (rollout+GAE+update, one XLA program) at the
+    training configuration.  NB the axon tunnel's dispatch/fetch latency is
+    erratic for short runs — the sustained long-run number is in
+    BENCH_NOTES (91-93k env-steps/s over 500-iteration chunks)."""
     from nightmare_rl_tpu.rl.ppo import PPO
 
+    env = NightmareV3Env(
+        NightmareV3Cfg().replace(env=EnvCfg(num_envs=PPO_ENVS))
+    )
     ppo = PPO(env, PPOCfg())
     ts = ppo.init(0)
     ts, stats = ppo.learn_step(ts)     # compile
     float(stats["loss"])
     t0 = time.perf_counter()
-    iters = 3
+    iters = 5
     for _ in range(iters):
         ts, stats = ppo.learn_step(ts)
         float(stats["loss"])           # honest device sync per iteration
@@ -44,7 +54,7 @@ def bench_ppo_iteration(env) -> None:
     print(
         json.dumps(
             {
-                "metric": "ppo_iter_env_steps_per_s_4096envs_1chip",
+                "metric": f"ppo_iter_env_steps_per_s_{PPO_ENVS}envs_1chip",
                 "value": round(steps / wall, 1),
                 "unit": "env-steps/s",
                 "vs_baseline": round(
@@ -58,7 +68,7 @@ def bench_ppo_iteration(env) -> None:
 def main() -> None:
     cfg = NightmareV3Cfg().replace(env=EnvCfg(num_envs=NUM_ENVS))
     env = NightmareV3Env(cfg)
-    bench_ppo_iteration(env)
+    bench_ppo_iteration()
 
     state = env.init(0)
     key = jax.random.PRNGKey(0)

@@ -265,6 +265,16 @@ def pgs_solve(
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=1)
+def _is_axon_backend() -> bool:
+    """True when the TPU is reached through the axon tunnel (emulated perf
+    profile; identified by its PJRT platform_version string)."""
+    try:
+        return "axon" in jax.devices()[0].client.platform_version
+    except Exception:
+        return False
+
+
 @functools.lru_cache(maxsize=None)
 def pgs_core(iterations: int, noslip: int, ns_offset: int = 0):
     """PGS core that upgrades itself to the Pallas kernel under vmap."""
@@ -281,9 +291,12 @@ def pgs_core(iterations: int, noslip: int, ns_offset: int = 0):
             for x, bt in zip((J, U, b, R, lo, hi), in_batched)
         )
         # NIGHTMARE_PGS=kernel|scan overrides; default: the Pallas kernel on
-        # real TPU.  (On this dev box's tunneled/emulated TPU, Pallas ops run
-        # ~100x slower than XLA ops — see PARITY.md.)
-        mode = os.environ.get("NIGHTMARE_PGS", "kernel")
+        # real TPU, the vmapped scan on the axon-tunneled dev backend (where
+        # Mosaic kernels execute far below XLA ops: 113k vs 145k env-steps/s
+        # measured on the full env step — BENCH_NOTES round 3).
+        mode = os.environ.get("NIGHTMARE_PGS")
+        if mode is None:
+            mode = "scan" if _is_axon_backend() else "kernel"
         if jax.default_backend() == "tpu" and mode == "kernel":
             out = pgs_solve(J, U, b, R, lo, hi, iterations=iterations,
                             noslip=noslip, ns_offset=ns_offset)
