@@ -15,6 +15,13 @@ a large value and re-init the optimizer moments, keeping everything else
 Writes <dst_log_dir>/model_<iter> in the runner's own orbax format, so
 `train.py -r -p <dst_root>` (or scripts/train_supervised.sh) continues from
 it directly.
+
+NB get_load_path resolves the *lexicographically newest* run dir (the
+reference helpers.py quirk, preserved): place the reset checkpoint in a dir
+that sorts BEFORE the datetime dirs the continuation will create (e.g. an
+earlier datetime-shaped name), or move it out of the log root after the
+first continuation chunk has saved its own checkpoints — otherwise every
+resume snaps back to the reset point.
 """
 
 import argparse
