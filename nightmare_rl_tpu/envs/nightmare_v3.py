@@ -126,6 +126,11 @@ class NightmareV3Env:
             [scales[n] * self.dt for n in self.active_rewards], dtype
         )
 
+        # run the PGS dispatch probe now, outside any trace (ops/pgs.py)
+        from nightmare_rl_tpu.physics import solver
+
+        solver.prewarm(sys)
+
         self._step_batch = jax.jit(jax.vmap(self._step_one, in_axes=(0, 0)))
         self._init_batch = jax.jit(jax.vmap(self._init_one))
 

@@ -126,6 +126,101 @@ def _scan_core(J, U, b, R, lo, hi, iterations: int, noslip: int,
 
 
 # ---------------------------------------------------------------------------
+# leg-block-sparse core (single env)
+# ---------------------------------------------------------------------------
+
+
+def _scan_core_legs(Gp, leg1, leg2, b, R, lo, hi, nbranch: int, s: int,
+                    nbase: int, iterations: int, noslip: int, ns_offset: int):
+    """Matrix-free PGS exploiting the block-arrow sparsity of legged trees.
+
+    Every constraint row of the supported models structurally touches at most
+    two leg chains plus the floating base (plane contact: one leg + base;
+    self-collision pair: two legs, base cancels in the relative jacobian;
+    dof row: one leg).  With the no-fill block Cholesky of M in legs-first/
+    base-last order (physics/arrow.py: L = [[blkdiag(Ld_b), 0], [W_bᵀ…, Ls]]),
+    the rows of G = J L⁻ᵀ inherit exactly that support, and the dual sweep on
+    A = J M⁻¹ Jᵀ = G Gᵀ carrying u = Gᵀ f is sparse in BOTH directions:
+
+        A[r]·f = G[r]·u          (gather u at the row's ≤ 2s+nbase dofs)
+        f[r] += Δ ⇒ u += G[r]ᵀΔ  (scatter-add at the same dofs)
+
+    — unlike the dense matrix-free form, whose U = J M⁻¹ rows are dense
+    because M⁻¹ couples the legs through the base.  Per-row cost drops from
+    2·nv to 2·(2s+nbase) MACs (24 vs 48 for the hexapod), and the U = J M⁻¹
+    precompute (nefc·nv² MACs) is replaced by per-row triangular solves
+    against the factor blocks (built in physics/solver.py).
+
+    Gp: (nefc, 2s+nbase) row panels of G in [leg1 | leg2 | base] slot layout;
+    leg1/leg2: (nefc,) int32 branch ids (slot values are ZERO when the row
+    does not involve that slot — ids then just address dead zero work).
+    Semantics (row order, bounds, noslip pairing) identical to _scan_core;
+    tests assert equality against the explicit-A oracle.
+    """
+    nefc = b.shape[0]
+    g1 = Gp[:, :s]
+    g2 = Gp[:, s : 2 * s]
+    gb = Gp[:, 2 * s :]
+    diag = jnp.sum(Gp * Gp, axis=1)
+    inv_d = 1.0 / jnp.maximum(diag + R, 1e-12)
+
+    def gs_row(r, carry):
+        f, ul, ub = carry
+        l1, l2 = leg1[r], leg2[r]
+        val = (g1[r] @ ul[l1] + g2[r] @ ul[l2] + gb[r] @ ub
+               + b[r] + R[r] * f[r])
+        new = jnp.clip(f[r] - val * inv_d[r], lo[r], hi[r])
+        d = new - f[r]
+        ul = ul.at[l1].add(g1[r] * d)
+        ul = ul.at[l2].add(g2[r] * d)
+        ub = ub + gb[r] * d
+        return f.at[r].set(new), ul, ub
+
+    def sweep(_, carry):
+        return jax.lax.fori_loop(0, nefc, gs_row, carry)
+
+    f0 = jnp.zeros_like(b)
+    ul0 = jnp.zeros((nbranch, s), b.dtype)
+    ub0 = jnp.zeros((nbase,), b.dtype)
+    f, ul, ub = jax.lax.fori_loop(0, iterations, sweep, (f0, ul0, ub0))
+
+    npairs = (nefc - ns_offset) // 2
+    if noslip > 0 and npairs > 0:
+        # ± facets of one contact share their slot assignment, so the pair
+        # off-diagonal A[i,j] = G[i]·G[j] is an aligned panel dot
+        idx = ns_offset + 2 * jnp.arange(npairs)
+        Aij = jnp.sum(
+            jnp.take(Gp, idx, axis=0) * jnp.take(Gp, idx + 1, axis=0), axis=1
+        )
+
+        def ns_pair(p, carry):
+            f, ul, ub = carry
+            i = ns_offset + 2 * p
+            j = i + 1
+            l1, l2 = leg1[i], leg2[i]
+            g = ((g1[i] - g1[j]) @ ul[l1] + (g2[i] - g2[j]) @ ul[l2]
+                 + (gb[i] - gb[j]) @ ub + b[i] - b[j])
+            h = diag[i] + diag[j] - 2.0 * Aij[p]
+            tot = f[i] + f[j]
+            y = 0.5 * (f[i] - f[j]) - g / jnp.maximum(h, 1e-12)
+            y = jnp.clip(y, -0.5 * tot, 0.5 * tot)
+            ok = hi[i] > 0
+            fi = jnp.where(ok, 0.5 * tot + y, f[i])
+            fj = jnp.where(ok, 0.5 * tot - y, f[j])
+            di, dj = fi - f[i], fj - f[j]
+            ul = ul.at[l1].add(g1[i] * di + g1[j] * dj)
+            ul = ul.at[l2].add(g2[i] * di + g2[j] * dj)
+            ub = ub + gb[i] * di + gb[j] * dj
+            return f.at[i].set(fi).at[j].set(fj), ul, ub
+
+        def ns_sweep(_, carry):
+            return jax.lax.fori_loop(0, npairs, ns_pair, carry)
+
+        f, ul, ub = jax.lax.fori_loop(0, noslip, ns_sweep, (f, ul, ub))
+    return f
+
+
+# ---------------------------------------------------------------------------
 # Pallas TPU kernel (batched)
 # ---------------------------------------------------------------------------
 
@@ -265,19 +360,138 @@ def pgs_solve(
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=1)
-def _is_axon_backend() -> bool:
-    """True when the TPU is reached through the axon tunnel (emulated perf
-    profile; identified by its PJRT platform_version string)."""
+def _probe_problem(rng, N, nefc, nv, lay_shape, ns_offset, dtype):
+    """Random constraint system shaped like the real one, for mode probing."""
+    import numpy as np
+
+    J = rng.normal(size=(N, nefc, nv))
+    X = rng.normal(size=(nv, nv))
+    Minv = X @ X.T + np.eye(nv) * 0.1
+    U = J @ Minv
+    b = rng.normal(size=(N, nefc)) * 5
+    R = np.abs(rng.normal(size=(N, nefc))) + 0.01
+    lo = np.zeros((N, nefc))
+    hi = np.full((N, nefc), 3e38)
+    lo[:, :ns_offset] = -2.0
+    hi[:, :ns_offset] = 2.0
+    out = [jnp.asarray(x, dtype) for x in (J, U, b, R, lo, hi)]
+    if lay_shape is not None:
+        B, s, nb = lay_shape
+        Gp = rng.normal(size=(N, nefc, 2 * s + nb))
+        l1 = rng.integers(0, B, size=nefc)
+        out += [jnp.asarray(Gp, dtype), jnp.asarray(l1, jnp.int32),
+                jnp.asarray((l1 + 1) % B, jnp.int32)]
+    return out
+
+
+_MODE_CACHE: dict = {}
+
+
+def _trace_state_clean() -> bool:
+    """True when no jit/vmap trace is in progress (device programs are then
+    safe to launch for timing)."""
     try:
-        return "axon" in jax.devices()[0].client.platform_version
+        from jax._src.core import trace_state_clean
+
+        return trace_state_clean()
     except Exception:
         return False
 
 
+def _probed_mode(nefc: int, nv: int, iterations: int, noslip: int,
+                 ns_offset: int, lay_shape, legs_available: bool,
+                 dtype_name: str) -> str:
+    """One-shot empirical dispatch: time every available implementation on
+    the actual backend with the real problem shapes and cache the winner.
+    Replaces platform-name sniffing — on the axon-tunneled dev TPU the scan
+    path wins (Mosaic per-op overhead), on real TPUs the kernel's VMEM
+    residency is expected to win; a probe is right on both without lore.
+    block_until_ready is not trusted (it does not block on the axon backend):
+    every timing forces a scalar fetch."""
+    import time
+
+    import numpy as np
+
+    N = 512
+    rng = np.random.default_rng(0)
+    dtype = jnp.dtype(dtype_name)
+    args = _probe_problem(rng, N, nefc, nv,
+                          lay_shape if legs_available else None,
+                          ns_offset, dtype)
+    J, U, b, R, lo, hi = args[:6]
+
+    cands = {}
+    cands["scan"] = jax.jit(jax.vmap(
+        lambda j, u, bb, rr, l, h: _scan_core(
+            j, u, bb, rr, l, h, iterations, noslip, ns_offset)
+    ))
+    if jax.default_backend() == "tpu":
+        cands["kernel"] = functools.partial(
+            pgs_solve, iterations=iterations, noslip=noslip,
+            ns_offset=ns_offset)
+    if legs_available:
+        B, s, nb = lay_shape
+        Gp, l1, l2 = args[6:]
+        legs_fn = jax.jit(jax.vmap(
+            lambda gp, bb, rr, l, h: _scan_core_legs(
+                gp, l1, l2, bb, rr, l, h, B, s, nb,
+                iterations, noslip, ns_offset)
+        ))
+        cands["legs"] = lambda *_: legs_fn(Gp, b, R, lo, hi)
+
+    best, best_t = None, None
+    for name, fn in cands.items():
+        try:
+            times = []
+            for _ in range(4):
+                t0 = time.perf_counter()
+                float(fn(J, U, b, R, lo, hi).sum())  # forces execution
+                times.append(time.perf_counter() - t0)
+            t = min(times[1:])  # first rep pays compile
+        except Exception as e:  # e.g. Mosaic unavailable
+            print(f"pgs probe: {name} failed ({type(e).__name__}), skipping")
+            continue
+        if best_t is None or t < best_t:
+            best, best_t = name, t
+    best = best or "scan"
+    print(f"pgs probe: selected '{best}' "
+          f"({', '.join(f'{n}' for n in cands)} probed, nefc={nefc}, nv={nv})")
+    return best
+
+
+def choose_mode(legs_available: bool, nefc: int, nv: int, iterations: int,
+                noslip: int, ns_offset: int, lay_shape,
+                dtype_name: str = "float32") -> str:
+    """Solver-implementation dispatch: NIGHTMARE_PGS=legs|scan|kernel forces
+    a path; otherwise on TPU a first-use timing probe picks the winner, and
+    on CPU-like backends the leg-sparse scan (fewest FLOPs) is the default.
+
+    The probe launches device programs, so it only runs when no trace is in
+    progress (physics/solver.py::prewarm gives callers a hook to trigger it
+    eagerly before their jit); inside a trace with no cached verdict, the
+    un-probed FLOP-count default is used without caching it."""
+    mode = os.environ.get("NIGHTMARE_PGS")
+    if mode in ("legs", "scan", "kernel"):
+        if mode == "legs" and not legs_available:
+            return "scan"
+        return mode
+    if jax.default_backend() != "tpu":
+        return "legs" if legs_available else "scan"
+    key = (nefc, nv, iterations, noslip, ns_offset, lay_shape,
+           legs_available, dtype_name)
+    if key in _MODE_CACHE:
+        return _MODE_CACHE[key]
+    if not _trace_state_clean():
+        return "legs" if legs_available else "scan"
+    mode = _probed_mode(*key)
+    _MODE_CACHE[key] = mode
+    return mode
+
+
 @functools.lru_cache(maxsize=None)
 def pgs_core(iterations: int, noslip: int, ns_offset: int = 0):
-    """PGS core that upgrades itself to the Pallas kernel under vmap."""
+    """Dense matrix-free PGS core that upgrades itself to the Pallas kernel
+    under vmap (NIGHTMARE_PGS=kernel, or the dispatch probe's choice)."""
 
     @jax.custom_batching.custom_vmap
     def core(J, U, b, R, lo, hi):
@@ -290,13 +504,10 @@ def pgs_core(iterations: int, noslip: int, ns_offset: int = 0):
             x if bt else jnp.broadcast_to(x, (axis_size,) + x.shape)
             for x, bt in zip((J, U, b, R, lo, hi), in_batched)
         )
-        # NIGHTMARE_PGS=kernel|scan overrides; default: the Pallas kernel on
-        # real TPU, the vmapped scan on the axon-tunneled dev backend (where
-        # Mosaic kernels execute far below XLA ops: 113k vs 145k env-steps/s
-        # measured on the full env step — BENCH_NOTES round 3).
         mode = os.environ.get("NIGHTMARE_PGS")
-        if mode is None:
-            mode = "scan" if _is_axon_backend() else "kernel"
+        if mode is None and jax.default_backend() == "tpu":
+            mode = choose_mode(False, J.shape[-2], J.shape[-1], iterations,
+                               noslip, ns_offset, None, str(J.dtype))
         if jax.default_backend() == "tpu" and mode == "kernel":
             out = pgs_solve(J, U, b, R, lo, hi, iterations=iterations,
                             noslip=noslip, ns_offset=ns_offset)

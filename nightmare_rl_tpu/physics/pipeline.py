@@ -76,18 +76,20 @@ def forward(sys: S.System, state: S.State, ctrl: jnp.ndarray) -> ForwardOut:
         fac = arrow.factor(lay, M)
         M_chol = None
         qacc_smooth = arrow.solve_vec(lay, fac, qfrc_smooth)
-        Minv = arrow.inv(lay, fac)
     else:
+        fac = None
         M_chol = linalg.chol(M)
         qacc_smooth = jax.scipy.linalg.cho_solve((M_chol, True), qfrc_smooth)
-        Minv = None
 
     con = collision.find_contacts(sys, kin)
     pair = None
     if sys.max_pair_contacts > 0 and len(sys.cpair_a) > 0:
         pair = collision.find_pair_contacts(sys, kin, con)
+    # M⁻¹ is never formed here: the leg-sparse PGS works from the arrow
+    # factor directly, and the other solver paths build it on demand
     sol = solver.solve_contacts(
-        sys, con, qpos, qvel, M_chol, qacc_smooth, pair=pair, M=M, Minv=Minv
+        sys, con, qpos, qvel, M_chol, qacc_smooth, pair=pair, M=M,
+        lay=lay, fac=fac,
     )
 
     # touch sensors: per-contact normal force = Σ pyramid facet forces

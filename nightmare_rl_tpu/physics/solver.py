@@ -290,6 +290,115 @@ def make_dof_efc(sys: S.System, qpos: jnp.ndarray,
                  for f in Efc._fields])
 
 
+class LegMeta(NamedTuple):
+    """Per-row slot assignment for the leg-block-sparse PGS core
+    (ops/pgs.py::_scan_core_legs): every constraint row of an arrow-layout
+    model touches at most two leg chains plus the base.  leg ids address the
+    branch arrays; ``hasN`` masks zero a slot's panel values when the row does
+    not involve it (a plane-contact row reuses leg1's id in slot 2, so the
+    mask is what prevents double counting)."""
+
+    leg1: jnp.ndarray  # (nefc,) int32 branch id of slot 1
+    leg2: jnp.ndarray  # (nefc,) int32 branch id of slot 2
+    has1: jnp.ndarray  # (nefc,) bool
+    has2: jnp.ndarray  # (nefc,) bool
+
+
+def _point_leg_map(sys: S.System, lay) -> np.ndarray:
+    """Static candidate-point → branch map (-1: point on the base body, whose
+    rows involve only the 6 base dofs)."""
+    out = np.full(sys.ncp, -1, np.int32)
+    for p in range(sys.ncp):
+        b = int(np.asarray(sys.cpoint_bodyid)[p])
+        while b > 0 and sys.body_jntnum[b] == 0:
+            b = int(sys.body_parent[b])
+        if b <= 0:
+            continue
+        d = int(sys.jnt_dofadr[sys.body_jntadr[b]])
+        if d >= lay.nbase:
+            out[p] = (d - lay.nbase) // lay.branch_size
+    return out
+
+
+def _dof_row_dofs(sys: S.System) -> np.ndarray:
+    """Dof index per dof-constraint row, in make_dof_efc's exact row order
+    (friction rows, then lower-limit rows, then upper-limit rows)."""
+    fl = np.asarray(sys.dof_frictionloss)
+    fric_dofs = np.nonzero(fl > 0)[0]
+    lim_dofs = np.array([
+        sys.jnt_dofadr[j] for j in range(sys.njnt)
+        if bool(np.asarray(sys.jnt_limited)[j]) and sys.jnt_type[j] == S.HINGE
+    ], dtype=np.int64)
+    return np.concatenate([fric_dofs, lim_dofs, lim_dofs]).astype(np.int32)
+
+
+def _leg_panels(lay, fac, J: jnp.ndarray, lm: LegMeta) -> jnp.ndarray:
+    """Row panels of G = J L⁻ᵀ in [leg1 | leg2 | base] slot layout, from the
+    block-arrow factor (physics/arrow.py).  With dofs ordered legs-first/
+    base-last, L = [[blkdiag(Ld_b), 0], [W_bᵀ…, Ls]] is an exact no-fill
+    Cholesky of M, so per row:
+
+        G_legN = j_legN · Ld⁻ᵀ                   (s×s triangular solve)
+        G_base = (j_base − Σ G_legN·W_legN)·Ls⁻ᵀ (6×6 triangular solve)
+
+    Cost is O(nefc·(s² + s·nb + nb²)) — replacing the dense U = J M⁻¹
+    precompute's O(nefc·nv²)."""
+    from nightmare_rl_tpu.physics.arrow import _solve_tril
+
+    s, nb = lay.branch_size, lay.nbase
+    ar = jnp.arange(s)
+    dt = J.dtype
+    j1 = jnp.take_along_axis(
+        J, nb + s * lm.leg1[:, None] + ar[None], axis=1
+    ) * lm.has1[:, None].astype(dt)
+    j2 = jnp.take_along_axis(
+        J, nb + s * lm.leg2[:, None] + ar[None], axis=1
+    ) * lm.has2[:, None].astype(dt)
+    jb = J[:, :nb]
+    g1 = _solve_tril(fac.Ld[lm.leg1], j1[..., None])[..., 0]
+    g2 = _solve_tril(fac.Ld[lm.leg2], j2[..., None])[..., 0]
+    rb = (jb
+          - jnp.einsum("rs,rsk->rk", g1, fac.W[lm.leg1])
+          - jnp.einsum("rs,rsk->rk", g2, fac.W[lm.leg2]))
+    gb = _solve_tril(fac.Ls, rb.T).T
+    return jnp.concatenate([g1, g2, gb], axis=1)
+
+
+def prewarm(sys: S.System) -> str:
+    """Run the PGS dispatch probe eagerly (ops/pgs.py::choose_mode times the
+    candidate implementations on the real backend — that must happen OUTSIDE
+    any jit trace).  Constraint-system shapes are derived without executing
+    anything via jax.eval_shape.  Called from env __init__; returns the
+    selected mode (informational)."""
+    from nightmare_rl_tpu.ops import pgs
+    from nightmare_rl_tpu.physics import arrow, collision, kinematics, pipeline
+
+    if sys.solver_type in (S.SOLVER_CG, S.SOLVER_NEWTON):
+        return "newton"
+    lay = arrow.layout(sys)
+    state = pipeline.make_state(sys)
+
+    def shapes(qpos, qvel):
+        kin = kinematics.kinematics(sys, qpos)
+        con = collision.find_contacts(sys, kin)
+        pair = (
+            collision.find_pair_contacts(sys, kin, con)
+            if sys.max_pair_contacts > 0 and len(sys.cpair_a) > 0 else None
+        )
+        return assemble(sys, con, qpos, qvel, pair=pair, lay=lay).efc.J
+
+    Js = jax.eval_shape(shapes, state.qpos, jnp.zeros(sys.nv, sys.dtype))
+    return pgs.choose_mode(
+        legs_available=lay is not None,
+        nefc=Js.shape[0], nv=Js.shape[1],
+        iterations=sys.solver_iterations, noslip=sys.noslip_iterations,
+        ns_offset=len(_dof_row_dofs(sys)),
+        lay_shape=None if lay is None else (lay.nbranch, lay.branch_size,
+                                            lay.nbase),
+        dtype_name=str(jnp.dtype(sys.dtype)),
+    )
+
+
 class SolveOut(NamedTuple):
     force: jnp.ndarray            # (nefc,) constraint forces
     qfrc_constraint: jnp.ndarray  # (nv,)
@@ -303,6 +412,9 @@ def solve(
     qacc_smooth: jnp.ndarray,
     ns_offset: int = 0,
     Minv: Optional[jnp.ndarray] = None,
+    lay=None,
+    fac=None,
+    legmeta: Optional[LegMeta] = None,
 ) -> SolveOut:
     """Dual box-PGS (zero start) with fixed sweeps, then noslip on the
     contact tangent pairs starting at row ns_offset.
@@ -320,14 +432,42 @@ def solve(
     triangular solve lowers to sequential loops on TPU.  All contractions
     are formulated transpose-free (einsums on trailing dims): minor-dim
     transposes are pathological on this TPU stack."""
-    from nightmare_rl_tpu.ops.pgs import pgs_core
+    from nightmare_rl_tpu.ops import pgs
+
+    b = efc.J @ qacc_smooth - efc.aref
+    mode = pgs.choose_mode(
+        legs_available=(legmeta is not None and fac is not None),
+        nefc=efc.J.shape[0], nv=efc.J.shape[1],
+        iterations=sys.solver_iterations, noslip=sys.noslip_iterations,
+        ns_offset=ns_offset,
+        lay_shape=None if lay is None else (lay.nbranch, lay.branch_size,
+                                            lay.nbase),
+        dtype_name=str(efc.J.dtype),
+    )
+    if mode == "legs":
+        Gp = _leg_panels(lay, fac, efc.J, legmeta)
+        f = pgs._scan_core_legs(
+            Gp, legmeta.leg1, legmeta.leg2, b, efc.R, efc.lo, efc.hi,
+            lay.nbranch, lay.branch_size, lay.nbase,
+            sys.solver_iterations, sys.noslip_iterations, ns_offset,
+        )
+        qfrc = jnp.einsum("kn,k->n", efc.J, f)
+        from nightmare_rl_tpu.physics import arrow
+
+        qacc = qacc_smooth + arrow.solve_vec(lay, fac, qfrc)
+        return SolveOut(f, qfrc, qacc)
 
     if Minv is None:
-        Minv = linalg.spd_inv_from_chol(M_chol)
-    U = efc.J @ Minv                                         # (nefc, nv)
-    b = efc.J @ qacc_smooth - efc.aref
+        if fac is not None:
+            from nightmare_rl_tpu.physics import arrow
 
-    core = pgs_core(sys.solver_iterations, sys.noslip_iterations, ns_offset)
+            Minv = arrow.inv(lay, fac)
+        else:
+            Minv = linalg.spd_inv_from_chol(M_chol)
+    U = efc.J @ Minv                                         # (nefc, nv)
+
+    core = pgs.pgs_core(sys.solver_iterations, sys.noslip_iterations,
+                        ns_offset)
     f = core(efc.J, U, b, efc.R, efc.lo, efc.hi)
 
     qfrc = jnp.einsum("kn,k->n", efc.J, f)
@@ -379,6 +519,7 @@ class Assembled(NamedTuple):
     ns_offset: int
     cparts: list           # (efc, point_idx, rows_per_point, condim, ...)
     pair_part: object
+    legmeta: Optional[LegMeta] = None
 
 
 def assemble(
@@ -387,6 +528,7 @@ def assemble(
     qpos: jnp.ndarray,
     qvel: jnp.ndarray,
     pair=None,
+    lay=None,
 ) -> Assembled:
     """Assemble every constraint row exactly as solve_contacts consumes it
     (exposed separately so tests/probes can inspect the system row-by-row
@@ -468,6 +610,43 @@ def assemble(
     else:
         efc = parts[0]
 
+    # per-row leg-slot assignment for the sparse PGS core, in the exact
+    # concatenated row order [dof | contact groups | pairs]
+    legmeta = None
+    if lay is not None:
+        plm = jnp.asarray(_point_leg_map(sys, lay))
+        l1s, l2s, h1s, h2s = [], [], [], []
+
+        def add(l1, l2, h1, h2, n):
+            l1s.append(jnp.broadcast_to(l1, (n,)).astype(jnp.int32))
+            l2s.append(jnp.broadcast_to(l2, (n,)).astype(jnp.int32))
+            h1s.append(jnp.broadcast_to(h1, (n,)))
+            h2s.append(jnp.broadcast_to(h2, (n,)))
+
+        if efc_d is not None:
+            dd = _dof_row_dofs(sys)
+            dleg = np.where(dd >= lay.nbase,
+                            (dd - lay.nbase) // lay.branch_size, 0)
+            add(jnp.asarray(dleg), jnp.asarray(dleg),
+                jnp.asarray(dd >= lay.nbase), jnp.zeros(len(dd), bool),
+                len(dd))
+        for _, idx, nf, _, _, _ in cparts:
+            lp = plm[idx]                       # (n,) dynamic gather
+            leg = jnp.repeat(jnp.maximum(lp, 0), nf)
+            has = jnp.repeat(lp >= 0, nf)
+            add(leg, leg, has, jnp.zeros_like(has), idx.shape[0] * nf)
+        if pair is not None:
+            nf = 3 if elliptic else 4
+            la, lb = plm[pair.a], plm[pair.b]
+            add(jnp.repeat(jnp.maximum(la, 0), nf),
+                jnp.repeat(jnp.maximum(lb, 0), nf),
+                jnp.repeat(la >= 0, nf), jnp.repeat(lb >= 0, nf),
+                pair.a.shape[0] * nf)
+        legmeta = LegMeta(
+            jnp.concatenate(l1s), jnp.concatenate(l2s),
+            jnp.concatenate(h1s), jnp.concatenate(h2s),
+        )
+
     nefc = None
     if use_newton:
         cones = []
@@ -494,7 +673,7 @@ def assemble(
             fl=jnp.where(is_fl, efc.hi, 0.0),
             cones=tuple(cones),
         )
-    return Assembled(efc, nefc, ns_offset, cparts, pair_part)
+    return Assembled(efc, nefc, ns_offset, cparts, pair_part, legmeta)
 
 
 def solve_contacts(
@@ -507,6 +686,8 @@ def solve_contacts(
     pair=None,
     M: Optional[jnp.ndarray] = None,
     Minv: Optional[jnp.ndarray] = None,
+    lay=None,
+    fac=None,
 ) -> ContactSolveOut:
     """Full constraint solve: dof friction + joint limits + plane contacts
     (+ optional body-body pair contacts), with top-K candidate selection.
@@ -523,7 +704,7 @@ def solve_contacts(
     facets (ascending condim) | pair facets].  Every facet block keeps the
     consecutive ±pair structure the noslip pass expects.
     """
-    asm = assemble(sys, con, qpos, qvel, pair=pair)
+    asm = assemble(sys, con, qpos, qvel, pair=pair, lay=lay)
     efc, nefc, ns_offset = asm.efc, asm.nefc, asm.ns_offset
     cparts, pair_part = asm.cparts, asm.pair_part
     use_newton = nefc is not None
@@ -537,7 +718,12 @@ def solve_contacts(
         force = nsol.force
         if sys.noslip_iterations > 0 and not elliptic:
             if Minv is None:
-                Minv = linalg.spd_inv_from_chol(M_chol)
+                if fac is not None:
+                    from nightmare_rl_tpu.physics import arrow
+
+                    Minv = arrow.inv(lay, fac)
+                else:
+                    Minv = linalg.spd_inv_from_chol(M_chol)
             JMinv = efc.J @ Minv
             A = jnp.einsum("ik,jk->ij", JMinv, efc.J)
             b = efc.J @ qacc_smooth - efc.aref
@@ -551,7 +737,8 @@ def solve_contacts(
             sol = SolveOut(force, nsol.qfrc_constraint, nsol.qacc)
     else:
         sol = solve(
-            sys, efc, M_chol, qacc_smooth, ns_offset=ns_offset, Minv=Minv
+            sys, efc, M_chol, qacc_smooth, ns_offset=ns_offset, Minv=Minv,
+            lay=lay, fac=fac, legmeta=asm.legmeta,
         )
 
     # normal force per candidate point, scattered back to the full candidate

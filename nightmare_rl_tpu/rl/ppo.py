@@ -408,6 +408,10 @@ class PPO:
             mean_reward=self._pmean(traj.reward.mean()),
             dones=self._psum(dones.sum()),
             episode_reward_means=ep_means,
+            # exploration health: rsl_rl's free-parameter std has no floor and
+            # its collapse stalled the round-3 run (docs/BENCH_NOTES.md) —
+            # surface it so the curves show collapse as it happens
+            mean_noise_std=jnp.abs(new_ts.params["params"]["std"]).mean(),
         )
         if self.record_states:
             # (qpos, qvel, action, done, commands), each (T, ·)

@@ -196,7 +196,7 @@ class OnPolicyRunner:
 
             if self.writer is not None:
                 for key in ("loss", "surrogate_loss", "value_loss", "kl", "lr",
-                            "mean_reward"):
+                            "mean_reward", "mean_noise_std"):
                     self.writer.add_scalar(f"train/{key}", float(stats[key]), it)
                 ep = np.asarray(stats["episode_reward_means"])
                 for name, val in zip(self.env.active_rewards, ep):

@@ -58,9 +58,17 @@ print("actuation       :", flops(lambda q, v, c: dynamics.actuation(sys, q, v, c
 print("find_contacts   :", flops(lambda k: collision.find_contacts(sys, k), kin))
 if pair is not None:
     print("find_pairs      :", flops(lambda k, c: collision.find_pair_contacts(sys, k, c), kin, con))
-print("solve_contacts  :", flops(
-    lambda c, q, v, mc, a, p: solver.solve_contacts(sys, c, q, v, mc, a, pair=p, M=None),
-    con, state.qpos, state.qvel, Mch, a0, pair))
+from nightmare_rl_tpu.physics import arrow  # noqa: E402
+
+lay = arrow.layout(sys)
+fac = arrow.factor(lay, M) if lay is not None else None
+for mode in ("legs", "scan"):
+    os.environ["NIGHTMARE_PGS"] = mode
+    print(f"solve_contacts ({mode:4s}):", flops(
+        lambda c, q, v, mc, a, p: solver.solve_contacts(
+            sys, c, q, v, mc, a, pair=p, M=None, lay=lay, fac=fac),
+        con, state.qpos, state.qvel, Mch, a0, pair))
+del os.environ["NIGHTMARE_PGS"]
 print("full substep    :", flops(lambda s, c: pipeline.step(sys, s, c, 1), state, ctrl))
 print("full ctrl step  :", flops(lambda s, c: pipeline.step(sys, s, c, 2), state, ctrl))
 

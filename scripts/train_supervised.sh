@@ -16,6 +16,16 @@ ENVS=${2:?envs}
 TARGET=${3:?target_iter}
 CHUNK=${4:-500}
 SEED=${5:-1}
+
+# exactly one supervisor per box: two supervisors' liveness probes can keep a
+# wedged tunnel wedged forever (docs/BENCH_NOTES.md).  flock enforces what
+# used to be operator memory.
+LOCK=/tmp/nightmare_train_supervisor.lock
+exec 9>"$LOCK"
+if ! flock -n 9; then
+  echo "supervisor: another supervisor holds $LOCK — refusing to start" >&2
+  exit 1
+fi
 # must exceed resume+compile (~3 min with no event-file growth) or healthy
 # restarts get killed mid-compile
 STALL_SECS=300

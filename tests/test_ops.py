@@ -100,6 +100,171 @@ def test_custom_vmap_dispatch():
 
 
 # ---------------------------------------------------------------------------
+# leg-block-sparse core (ops/pgs.py::_scan_core_legs + solver._leg_panels)
+# ---------------------------------------------------------------------------
+
+
+def _random_arrow_problem(rng, nefc, B, s, nb, ns_offset=0, npair_rows=0):
+    """Random constraint system over a synthetic block-arrow mass matrix,
+    with rows whose support matches the leg-slot structure: dof rows (one
+    leg), plane-contact rows (base + one leg, some base-only), pair rows
+    (two legs, no base) — the row families of the real models."""
+    from nightmare_rl_tpu.physics.arrow import ArrowFac, ArrowLayout
+    from nightmare_rl_tpu.physics.solver import LegMeta, _leg_panels
+
+    nv = nb + B * s
+    # arrow-structured M built directly from its no-fill factor blocks
+    Ld = np.tril(rng.normal(size=(B, s, s)))
+    Ld[:, np.arange(s), np.arange(s)] = (
+        np.abs(Ld[:, np.arange(s), np.arange(s)]) + 1.0
+    )
+    W = rng.normal(size=(B, s, nb)) * 0.3
+    Ls = np.tril(rng.normal(size=(nb, nb)))
+    Ls[np.arange(nb), np.arange(nb)] = np.abs(Ls[np.arange(nb), np.arange(nb)]) + 1.0
+    D = Ld @ Ld.transpose(0, 2, 1)
+    C = Ld @ W
+    B6 = np.einsum("bsi,bsj->ij", W, W) + Ls @ Ls.T
+    M = np.zeros((nv, nv))
+    M[:nb, :nb] = B6
+    for b_ in range(B):
+        sl = slice(nb + b_ * s, nb + (b_ + 1) * s)
+        M[sl, sl] = D[b_]
+        M[sl, :nb] = C[b_]
+        M[:nb, sl] = C[b_].T
+    Minv = np.linalg.inv(M)
+
+    leg1 = rng.integers(0, B, size=nefc).astype(np.int32)
+    leg2 = np.where(leg1 + 1 < B, leg1 + 1, 0).astype(np.int32)
+    # ± facet pairs of one contact share their slot assignment (the noslip
+    # pass relies on it) — align consecutive rows in the contact block
+    for r in range(ns_offset, nefc - 1, 2):
+        leg1[r + 1] = leg1[r]
+        leg2[r + 1] = leg2[r]
+    has1 = np.ones(nefc, bool)
+    has2 = np.zeros(nefc, bool)
+    has1[:ns_offset] = True                      # dof rows: leg only
+    if npair_rows:
+        has2[nefc - npair_rows:] = True          # pair rows: two legs
+    base_only = (rng.random(nefc) < 0.15) & has1 & ~has2
+    J = np.zeros((nefc, nv))
+    for r in range(nefc):
+        if r >= ns_offset and not has2[r]:
+            J[r, :nb] = rng.normal(size=nb)      # base part
+        if has1[r] and not base_only[r]:
+            sl = slice(nb + leg1[r] * s, nb + (leg1[r] + 1) * s)
+            J[r, sl] = rng.normal(size=s)
+        if has2[r]:
+            sl = slice(nb + leg2[r] * s, nb + (leg2[r] + 1) * s)
+            J[r, sl] = rng.normal(size=s)
+    has1 = has1 & ~base_only
+
+    U = J @ Minv
+    b = rng.normal(size=nefc) * 5
+    R = np.abs(rng.normal(size=nefc)) + 0.01
+    lo = np.zeros(nefc)
+    hi = np.full(nefc, np.inf)
+    lo[:ns_offset] = -2.0
+    hi[:ns_offset] = 2.0
+    inact = np.repeat(rng.random((nefc - ns_offset) // 2) < 0.3, 2)
+    hi[ns_offset:] = np.where(inact, 0.0, hi[ns_offset:])
+
+    lay = ArrowLayout(nv, nb, B, s)
+    fac = ArrowFac(jnp.asarray(Ld), jnp.asarray(W), jnp.asarray(Ls),
+                   jnp.asarray(C))
+    lm = LegMeta(jnp.asarray(leg1), jnp.asarray(leg2),
+                 jnp.asarray(has1), jnp.asarray(has2))
+    Gp = _leg_panels(lay, fac, jnp.asarray(J), lm)
+    dense = tuple(jnp.asarray(x) for x in (J, U, b, R, lo, hi))
+    return dense, Gp, lm, lay, jnp.asarray(Minv)
+
+
+def test_leg_panels_reconstruct_delassus():
+    """G Gᵀ from the sparse panels equals A = J M⁻¹ Jᵀ row-exactly — the
+    identity the sparse sweeps rely on."""
+    rng = np.random.default_rng(7)
+    (J, U, *_), Gp, lm, lay, Minv = _random_arrow_problem(
+        rng, nefc=20, B=4, s=3, nb=6, ns_offset=2, npair_rows=4)
+    A_ref = np.asarray(U @ J.T)
+    s, nb, B = lay.branch_size, lay.nbase, lay.nbranch
+    G = np.zeros((20, lay.nv))
+    g1 = np.asarray(Gp[:, :s])
+    g2 = np.asarray(Gp[:, s:2 * s])
+    gb = np.asarray(Gp[:, 2 * s:])
+    for r in range(20):
+        G[r, nb + int(lm.leg1[r]) * s: nb + (int(lm.leg1[r]) + 1) * s] += g1[r]
+        G[r, nb + int(lm.leg2[r]) * s: nb + (int(lm.leg2[r]) + 1) * s] += g2[r]
+        G[r, :nb] += gb[r]
+    # permuted coords: G's base block multiplies the base slots; A = G Gᵀ
+    np.testing.assert_allclose(G @ G.T, A_ref, atol=1e-9)
+
+
+def test_leg_sparse_core_matches_explicit_A():
+    rng = np.random.default_rng(8)
+    for ns_offset, npair in ((0, 0), (3, 4)):
+        dense, Gp, lm, lay, _ = _random_arrow_problem(
+            rng, nefc=16 + ns_offset, B=5, s=3, nb=6,
+            ns_offset=ns_offset, npair_rows=npair)
+        J, U, b, R, lo, hi = dense
+        ref = _explicit_A_oracle(J, U, b, R, lo, hi, 3, 4, ns_offset)
+        out = pgs._scan_core_legs(
+            Gp, lm.leg1, lm.leg2, b, R, lo, hi,
+            lay.nbranch, lay.branch_size, lay.nbase, 3, 4, ns_offset)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-9)
+
+
+def test_leg_sparse_core_matches_dense_core_under_vmap():
+    rng = np.random.default_rng(9)
+    outs = []
+    for _ in range(3):
+        dense, Gp, lm, lay, _ = _random_arrow_problem(
+            rng, nefc=16, B=4, s=3, nb=6, ns_offset=0, npair_rows=4)
+        J, U, b, R, lo, hi = dense
+        d_out = pgs._scan_core(J, U, b, R, lo, hi, 3, 4, 0)
+        l_out = pgs._scan_core_legs(
+            Gp, lm.leg1, lm.leg2, b, R, lo, hi, 4, 3, 6, 3, 4, 0)
+        np.testing.assert_allclose(np.asarray(l_out), np.asarray(d_out),
+                                   atol=1e-9)
+        outs.append((Gp, lm, b, R, lo, hi))
+    # vmapped over envs (the shape the env layer uses)
+    Gps = jnp.stack([o[0] for o in outs])
+    bs = jnp.stack([o[2] for o in outs])
+    Rs = jnp.stack([o[3] for o in outs])
+    los = jnp.stack([o[4] for o in outs])
+    his = jnp.stack([o[5] for o in outs])
+    lm0 = outs[0][1]
+    batched = jax.vmap(
+        lambda gp, bb, rr, l, h: pgs._scan_core_legs(
+            gp, lm0.leg1, lm0.leg2, bb, rr, l, h, 4, 3, 6, 3, 4, 0)
+    )(Gps, bs, Rs, los, his)
+    single = pgs._scan_core_legs(
+        Gps[0], lm0.leg1, lm0.leg2, bs[0], Rs[0], los[0], his[0],
+        4, 3, 6, 3, 4, 0)
+    np.testing.assert_allclose(np.asarray(batched[0]), np.asarray(single),
+                               atol=1e-12)
+
+
+def test_choose_mode_and_probe():
+    import os
+
+    # forced modes respected; 'legs' falls back when unavailable
+    for forced, avail, want in (("scan", True, "scan"), ("legs", True, "legs"),
+                                ("legs", False, "scan"),
+                                ("kernel", True, "kernel")):
+        os.environ["NIGHTMARE_PGS"] = forced
+        try:
+            got = pgs.choose_mode(avail, 16, 12, 3, 4, 0, (4, 3, 6))
+        finally:
+            del os.environ["NIGHTMARE_PGS"]
+        assert got == want, (forced, avail, got, want)
+    # no override on a CPU backend: sparse when available
+    assert pgs.choose_mode(True, 16, 12, 3, 4, 0, (4, 3, 6)) == "legs"
+    assert pgs.choose_mode(False, 16, 12, 3, 4, 0, None) == "scan"
+    # the probe itself runs (timing path) and returns an available candidate
+    mode = pgs._probed_mode(16, 18, 3, 4, 0, (4, 3, 6), True, "float32")
+    assert mode in ("scan", "legs")
+
+
+# ---------------------------------------------------------------------------
 # unrolled small-matrix linalg (ops/linalg.py)
 # ---------------------------------------------------------------------------
 
