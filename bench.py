@@ -32,24 +32,36 @@ PPO_ENVS = 2048  # the training CLI's default scale (reference train.py:12)
 
 def bench_ppo_iteration() -> None:
     """Full PPO iteration (rollout+GAE+update, one XLA program) at the
-    training configuration.  NB the axon tunnel's dispatch/fetch latency is
-    erratic for short runs — the sustained long-run number is in
-    BENCH_NOTES (91-93k env-steps/s over 500-iteration chunks)."""
+    training configuration, measured the way training experiences it: a
+    sustained window with a per-iteration scalar fetch (exactly what the
+    runner does for its metrics).  Short probes through the axon tunnel are
+    at the mercy of 1.4-14 s dispatch-latency swings for the identical
+    program (BENCH_NOTES round 3), so the window is wide: after compile and
+    a 3-iteration drain, iterate until >=45 s of wall time AND >=20
+    iterations (capped at 120) and report the sustained rate — this matches
+    the training-telemetry numbers instead of sitting 5x under them."""
     from nightmare_rl_tpu.rl.ppo import PPO
 
     env = NightmareV3Env(
         NightmareV3Cfg().replace(env=EnvCfg(num_envs=PPO_ENVS))
     )
+    decimation = env.cfg.control.decimation
     ppo = PPO(env, PPOCfg())
     ts = ppo.init(0)
     ts, stats = ppo.learn_step(ts)     # compile
     float(stats["loss"])
+    for _ in range(3):                 # drain the tunnel before timing
+        ts, stats = ppo.learn_step(ts)
+        float(stats["loss"])
     t0 = time.perf_counter()
-    iters = 5
-    for _ in range(iters):
+    iters = 0
+    while True:
         ts, stats = ppo.learn_step(ts)
         float(stats["loss"])           # honest device sync per iteration
-    wall = time.perf_counter() - t0
+        iters += 1
+        wall = time.perf_counter() - t0
+        if (wall >= 45.0 and iters >= 20) or iters >= 120:
+            break
     steps = iters * 80 * env.num_envs
     print(
         json.dumps(
@@ -57,8 +69,10 @@ def bench_ppo_iteration() -> None:
                 "metric": f"ppo_iter_env_steps_per_s_{PPO_ENVS}envs_1chip",
                 "value": round(steps / wall, 1),
                 "unit": "env-steps/s",
+                "iters": iters,
+                "window_s": round(wall, 1),
                 "vs_baseline": round(
-                    steps / wall * 2 / BASELINE_PHYS_STEPS_PER_S, 3
+                    steps / wall * decimation / BASELINE_PHYS_STEPS_PER_S, 3
                 ),
             }
         )

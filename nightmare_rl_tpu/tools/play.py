@@ -75,18 +75,23 @@ def main() -> None:
         # lin_vel * 2.0, obs[3:6] is ang_vel * 0.25 (obs scales,
         # reference nightmare_v3_config.py:67-72)
         vel = jnp.concatenate([out.obs[0, :3] / 2.0, out.obs[0, 3:6] / 0.25])
-        return out.state, out.obs, out.reward, out.done[0], out.time_out[0], vel
+        # foot touch sensors (sensordata slots 6:12, mjmodel.xml:156-170)
+        feet = out.state.phys.sensordata[0, 6:12]
+        return (out.state, out.obs, out.reward, out.done[0], out.time_out[0],
+                vel, feet)
 
-    traj, vels = [], []
+    traj, vels, feet_f = [], [], []
     falls = timeouts = 0
     t = 0.0
     for k in range(args.steps):
-        state, obs, rew, done, time_out, vel = policy_step(params, state, obs)
+        state, obs, rew, done, time_out, vel, feet = policy_step(
+            params, state, obs)
         traj.append(
             (t, np.asarray(state.phys.qpos[0]).astype(np.float64),
              np.asarray(state.phys.qvel[0]).astype(np.float64), np.zeros(0))
         )
         vels.append(np.asarray(vel))
+        feet_f.append(np.asarray(feet))
         if bool(done):
             if bool(time_out):
                 timeouts += 1
@@ -102,6 +107,9 @@ def main() -> None:
     print(f"eval: cmd vx={args.vx:+.2f} wz={args.wz:+.2f} | achieved "
           f"vx={vx_mean:+.3f} wz={wz_mean:+.3f} (mean after {settle} steps) | "
           f"falls={falls} timeouts={timeouts}")
+    print_gait_metrics(
+        np.stack(feet_f)[settle:],
+        np.stack([q for (_, q, _, _) in traj])[settle:, 2], env.dt)
 
     if args.out:
         with open(args.out, "wb") as f:
@@ -110,6 +118,48 @@ def main() -> None:
 
     if args.view:
         replay_in_viewer(traj)
+
+
+def print_gait_metrics(feet_force, base_z, dt: float) -> None:
+    """Gait-quality summary from foot touch forces + base height: a
+    tracking-only eval cannot tell a gait from a crouching shuffle (the
+    round-3 failure mode) — these numbers can.  Healthy engine-walk
+    reference (tools/custom_play.py): duty ~0.5-0.8 per foot with regular
+    swings, alternating tripods, base height ~0.09 m; a stander shows
+    duty 1.0, zero swings, alternation ~0.
+
+    feet_force: (T, 6) touch forces, base_z: (T,), both post-settle."""
+    import numpy as np
+
+    contact = feet_force > 1e-6                       # (T, 6)
+    duty = contact.mean(axis=0)
+    # swing (air-time) episodes per foot: runs of no-contact
+    swing_counts, air_times = [], []
+    for leg in range(contact.shape[1]):
+        c = contact[:, leg]
+        starts = np.flatnonzero(~c[1:] & c[:-1]) + 1  # contact -> air
+        ends = np.flatnonzero(c[1:] & ~c[:-1]) + 1    # air -> contact
+        swing_counts.append(len(starts))
+        for s in starts:
+            e = ends[ends > s]
+            if len(e):
+                air_times.append((e[0] - s) * dt)
+    # tripod alternation: the gait engine's tripod groups are legs
+    # (1,3,5) vs (2,4,6) (nikengine/engine.py:215, sensor order leg_1..6,
+    # mjmodel.xml:163-168) — anticorrelated support = alternating gait,
+    # 0 = static stance
+    a = contact[:, [0, 2, 4]].mean(axis=1)
+    b = contact[:, [1, 3, 5]].mean(axis=1)
+    altern = float(np.mean(np.abs(a - b)))
+    air = np.asarray(air_times) if air_times else np.zeros(1)
+    print(
+        "gait: duty=" + "/".join(f"{d:.2f}" for d in duty)
+        + f" | swings/foot={np.mean(swing_counts):.1f}"
+        + f" | air_time mean={air.mean():.3f}s p90={np.quantile(air, 0.9):.3f}s"
+        + f" | feet_down mean={contact.sum(axis=1).mean():.2f}"
+        + f" | tripod_alternation={altern:.2f}"
+        + f" | base_z mean={base_z.mean():.3f} min={base_z.min():.3f}"
+    )
 
 
 def draw_command_arrow(viewer, qpos, cmd) -> None:

@@ -13,6 +13,8 @@ def sys():
     return loader.load_system("anymal_c")
 
 
+pytestmark = pytest.mark.slow
+
 def test_stands_under_position_hold(sys):
     st = pipeline.make_state(sys)
     ctrl = jnp.array(st.qpos[7:])

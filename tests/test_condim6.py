@@ -16,6 +16,7 @@ import os
 import jax.numpy as jnp
 import mujoco as mj
 import numpy as np
+import pytest
 
 from nightmare_rl_tpu.physics import collision, kinematics, loader, pipeline
 from nightmare_rl_tpu.physics import solver
@@ -49,6 +50,8 @@ def _settled_anymal():
     mj.mj_forward(m, d)
     return m, d
 
+
+pytestmark = pytest.mark.slow
 
 def test_anymal_condim6_efc_rows_exact():
     m, d = _settled_anymal()

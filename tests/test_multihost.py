@@ -28,6 +28,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+pytestmark = pytest.mark.slow
+
 def test_two_process_sharded_iteration():
     port = _free_port()
     env = dict(os.environ)

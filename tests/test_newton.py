@@ -12,6 +12,7 @@ import os
 import jax.numpy as jnp
 import mujoco as mj
 import numpy as np
+import pytest
 
 from nightmare_rl_tpu.physics import collision, kinematics, loader, pipeline
 from nightmare_rl_tpu.physics import solver
@@ -42,6 +43,8 @@ def _anymal(settle=200):
     mj.mj_forward(m, d)
     return m, d
 
+
+pytestmark = pytest.mark.slow
 
 def test_anymal_defaults_are_newton_elliptic():
     m, _ = _anymal(settle=0)

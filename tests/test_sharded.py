@@ -21,9 +21,9 @@ from nightmare_rl_tpu.envs.nightmare_v3 import NightmareV3Env
 from nightmare_rl_tpu.rl.ppo import PPO
 from nightmare_rl_tpu.parallel.mesh import ShardedPPO, make_mesh
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs the 8-device virtual mesh"
-)
+)]
 
 
 @pytest.fixture(scope="module")
