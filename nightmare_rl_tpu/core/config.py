@@ -148,9 +148,13 @@ class SolverCfg:
     iterations: Optional[int] = None
     noslip_iterations: Optional[int] = None
     # top-K deepest candidate contact points entering the solver per step
-    # (-1 = all).  16 comfortably covers walking (≤7 simultaneous contacts
-    # observed) while cutting the solve to fixed small shapes.
-    max_contacts: int = 16
+    # (-1 = all).  Measured (tests/test_contact_cap.py, PARITY.md §5):
+    # steady walking peaks at 19 penetrating candidates (stance feet carry
+    # 3-4 support vertices each) and belly-collapse states at 24-25, so 24
+    # is force-complete for the walking regime with margin and drops at
+    # most one ~0.3 mm candidate in transitional crouches; 16 (the old
+    # default) silently dropped up to 9 candidates at 13 mm depth there.
+    max_contacts: int = 24
 
 
 @dataclass(frozen=True)

@@ -1,66 +1,116 @@
-"""max_contacts=16 is evidence, not assertion (VERDICT r3 weak #4).
+"""max_contacts is evidence, not assertion (VERDICT r3 weak #4).
 
 The env's static top-K contact selection (core/config.py SolverCfg
 .max_contacts, solver.py assemble) admits only the K deepest condim-3
-candidates into the constraint system.  MuJoCo instantiates every detected
+candidates into the constraint system; MuJoCo instantiates every detected
 contact dynamically (reference mjmodel.xml PGS path), so the cap silently
-changes forces iff a 17th candidate ever penetrates.  This test drives a
-random-action batch — the contact-heaviest workload we have (flailing +
-termination resets) — and checks the (K+1)-th deepest candidate is never
-penetrating; scripts/probe_contact_cap.py is the full-scale (2048-env)
-version with an activity histogram.
+changes forces iff a (K+1)-th candidate ever penetrates.  Measured facts
+(full-scale version: scripts/probe_contact_cap.py; written up in
+PARITY.md §5):
+
+- steady gait-engine walking peaks at 19 penetrating candidates (stance
+  feet carry 3-4 support vertices each) — the old K=16 default bit by up
+  to 0.8 mm there and perturbed foot forces ~4%;
+- belly states (the FSM get-up phase, random-action collapse — both
+  non-terminating) reach 24-25 penetrating candidates;
+- the default K=24 is therefore force-complete in the walking regime with
+  ~7 cm of margin and drops at most one ~0.3 mm candidate in transitional
+  crouches.
 """
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nightmare_rl_tpu.core.config import EnvCfg, NightmareV3Cfg
 from nightmare_rl_tpu.envs.nightmare_v3 import NightmareV3Env
-from nightmare_rl_tpu.physics import collision, kinematics
+from nightmare_rl_tpu.physics import collision, kinematics, loader, pipeline
+from nightmare_rl_tpu.physics import system as S
+
+pytestmark = pytest.mark.slow
 
 
-def contact_depth_stats(env, state):
-    """Per-env: number of penetrating condim-3 candidates and the depth of
-    the (K+1)-th deepest (positive = separated)."""
-    sys = env.sys
+def _depth_stats_fn(sys):
     K = sys.max_contacts
 
-    def one(qpos):
+    def stats(qpos):
         kin = kinematics.kinematics(sys, qpos)
         con = collision.find_contacts(sys, kin)
-        n_pen = jnp.sum(con.dist < 0.0)
-        # ascending dist = descending depth; element K is the first candidate
-        # the top-K selection drops
-        d_sorted = jnp.sort(con.dist)
-        return n_pen, d_sorted[K]
+        # ascending dist: element K is the first candidate top-K drops
+        return jnp.sum(con.dist < 0.0), jnp.sort(con.dist)[K]
 
-    return jax.jit(jax.vmap(one))(state.phys.qpos)
+    return stats
 
 
-def test_top16_cap_never_drops_a_penetrating_contact():
-    env = NightmareV3Env(
-        NightmareV3Cfg().replace(env=EnvCfg(num_envs=64))
+def test_default_cap_is_24_and_covers_the_engine_walk():
+    """Gait-engine rollout (tools/custom_play.py semantics) under the
+    default cap: steady-state walking never drops a penetrating candidate,
+    and even the belly-on-ground get-up transition drops at most one
+    sub-millimetre candidate."""
+    from nightmare_rl_tpu.engine import gait as G
+
+    sys = S.tree_cast(loader.load_system("nightmare_v3"), jnp.float64)
+    cfg_env = NightmareV3Cfg()
+    sys = dataclasses.replace(sys, max_contacts=cfg_env.solver.max_contacts)
+    assert sys.max_contacts == 24
+    dt = float(sys.timestep)
+    decimation = 2
+    cfg = G.make_cfg(engine_fps=1.0 / (dt * decimation))
+    stats = _depth_stats_fn(sys)
+
+    def step(carry, k):
+        ph, es, lim = carry
+        t = (k + 1).astype(jnp.float64) * dt * decimation
+        es, angles = G.update(
+            cfg, es, t, 0.08, 0.0,
+            jnp.int32(G.CMD_AWAKE), jnp.int32(G.MODE_WALK),
+        )
+        lim = (lim + jnp.clip(angles - lim, -0.08, 0.08)).astype(lim.dtype)
+        ctrl = (lim - ph.qpos[7:]) * 12.0
+        ph = pipeline.step(sys, ph, ctrl, decimation)
+        return (ph, es, lim), stats(ph.qpos)
+
+    @jax.jit
+    def rollout():
+        carry = (pipeline.make_state(sys), G.init_state(cfg),
+                 jnp.zeros(18, jnp.float64))
+        _, (n_pen, d25) = jax.lax.scan(step, carry, jnp.arange(400))
+        return n_pen, d25
+
+    n_pen, d25 = rollout()
+    # steady-state walking (FSM fully up, base_z ~0.09): force-complete
+    walk = slice(240, None)
+    assert int(jnp.max(n_pen[walk])) <= 24
+    assert float(jnp.min(d25[walk])) > 0.0, (
+        "25th-deepest candidate penetrates during steady walking — the "
+        "default cap bites on the nominal workload"
     )
-    assert env.sys.max_contacts == 16
+    # transitional belly states: bounded to a sub-millimetre single drop
+    assert float(jnp.min(d25)) > -1e-3
+
+
+def test_default_cap_covers_random_flail():
+    """Random-action collapse (the contact-heaviest workload: belly on the
+    ground, non-terminating) stays within the default cap."""
+    env = NightmareV3Env(NightmareV3Cfg().replace(env=EnvCfg(num_envs=32)))
+    assert env.sys.max_contacts == 24
+    stats_b = jax.jit(jax.vmap(_depth_stats_fn(env.sys)))
     rng = jax.random.PRNGKey(3)
     state, _ = env.reset(0)
-    worst_n, worst_17th = 0, np.inf
-    for _ in range(50):
+    max_n, worst = 0, np.inf
+    for _ in range(40):
         rng, k = jax.random.split(rng)
-        actions = jax.random.normal(k, (64, env.num_actions))
+        actions = jax.random.normal(k, (32, env.num_actions))
         out = env._step_batch(state, actions)
         state = out.state
-        n_pen, d17 = contact_depth_stats(env, state)
-        worst_n = max(worst_n, int(n_pen.max()))
-        worst_17th = min(worst_17th, float(d17.min()))
-    # the busiest env-step stays under the cap with headroom
-    assert worst_n <= env.sys.max_contacts, (
-        f"{worst_n} penetrating candidates — top-{env.sys.max_contacts} "
-        "selection is dropping real contacts"
-    )
-    # and the first dropped candidate is strictly separated
-    assert worst_17th > 0.0, (
-        f"17th-deepest candidate penetrates ({worst_17th:.2e} m): the cap "
-        "silently changes forces"
+        n, d = stats_b(state.phys.qpos)
+        max_n = max(max_n, int(np.asarray(n).max()))
+        worst = min(worst, float(np.asarray(d).min()))
+    assert max_n <= 24
+    assert worst > 0.0, (
+        f"25th-deepest candidate penetrates ({worst:.3e} m) in the crash "
+        "workload — the cap no longer covers it"
     )
