@@ -48,6 +48,51 @@ def test_recurrent_learn_step(env):
     assert float(jnp.abs(h).max()) > 0
 
 
+def test_external_driver_matches_fused_ppo(env):
+    """The host-loop driver (rl/external.py) must reproduce the fused
+    iteration: same policy math, same per-env key advance, same timeout
+    bootstrap, same update — so with the same seed and the same env the
+    two trainers take near-identical steps (the only differences are jit
+    partition boundaries, i.e. f32 reassociation)."""
+    import numpy as np
+
+    from nightmare_rl_tpu.rl.external import ExternalPPO
+
+    cfg = PPOCfg().replace(runner=_short_runner())
+    fused = PPO(env, cfg)
+    ts_f = fused.init(0)
+
+    ext = ExternalPPO(env.num_obs, env.num_actions, env.num_envs, cfg)
+    state0, obs0 = env.reset(0)
+    box = {"state": state0}
+
+    def step_fn(actions):
+        out = env._step_batch(box["state"], jnp.asarray(actions, jnp.float32))
+        box["state"] = out.state
+        return (np.asarray(out.obs), np.asarray(out.reward),
+                np.asarray(out.done), np.asarray(out.time_out))
+
+    ts_e = ext.init(0, np.asarray(obs0))
+    # align the external trainer's params/keys with the fused trainer's
+    # (init draws differ: fused consumed a key for env reset)
+    ts_e = ts_e.replace(params=ts_f.params, rng=ts_f.rng)
+
+    ts_f, stats_f = fused.learn_step(ts_f)
+    ts_e, stats_e = ext.learn_iteration(ts_e, step_fn)
+
+    np.testing.assert_allclose(
+        float(stats_f["loss"]), float(stats_e["loss"]), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(stats_f["kl"]), float(stats_e["kl"]), rtol=2e-3, atol=1e-6
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(ts_f.params),
+                    jax.tree_util.tree_leaves(ts_e.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
+
+
 def test_checkpoint_roundtrip(env, tmp_path):
     from nightmare_rl_tpu.utils import checkpoint as ckpt
 
