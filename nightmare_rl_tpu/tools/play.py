@@ -112,8 +112,13 @@ def main() -> None:
         np.stack([q for (_, q, _, _) in traj])[settle:, 2], env.dt)
 
     if args.out:
-        with open(args.out, "wb") as f:
-            pickle.dump(traj, f)
+        if args.out.endswith(".npz"):
+            from nightmare_rl_tpu.tools.replay import save_npz
+
+            save_npz(args.out, traj)
+        else:  # reference-compatible pkl (open_custom_play.py reads it)
+            with open(args.out, "wb") as f:
+                pickle.dump(traj, f)
         print(f"saved trajectory to {args.out}")
 
     if args.view:

@@ -17,7 +17,9 @@ import pickle
 
 
 def load_any(path: str):
-    """Return a list of (t, qpos, qvel, act) tuples from pkl or ringlog."""
+    """Return a list of (t, qpos, qvel, act) tuples from pkl (the reference
+    format), npz (the preferred shareable format: no pickle deserialization
+    of untrusted files), or ringlog."""
     if path.endswith(".ring"):
         import numpy as np
 
@@ -28,8 +30,28 @@ def load_any(path: str):
         t, q, v = log.read()
         return [(float(t[i]), q[i].astype(np.float64),
                  v[i].astype(np.float64), np.zeros(0)) for i in range(len(t))]
+    if path.endswith(".npz"):
+        import numpy as np
+
+        d = np.load(path)
+        act = d["act"] if "act" in d else np.zeros((len(d["t"]), 0))
+        return [(float(d["t"][i]), d["qpos"][i], d["qvel"][i], act[i])
+                for i in range(len(d["t"]))]
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+def save_npz(path: str, traj) -> None:
+    """Write a (t, qpos, qvel, act) trajectory as npz."""
+    import numpy as np
+
+    np.savez_compressed(
+        path,
+        t=np.asarray([s[0] for s in traj]),
+        qpos=np.stack([s[1] for s in traj]),
+        qvel=np.stack([s[2] for s in traj]),
+        act=np.stack([np.asarray(s[3]) for s in traj]),
+    )
 
 
 def main() -> None:
@@ -51,6 +73,7 @@ def main() -> None:
     elif args.dir:
         paths = sorted(
             glob.glob(os.path.join(args.dir, "*.pkl"))
+            + glob.glob(os.path.join(args.dir, "*.npz"))
             + glob.glob(os.path.join(args.dir, "*.ring"))
         )
     if not paths:

@@ -80,3 +80,25 @@ def test_jsonl_metrics_fallback(tmp_path):
     with open(tmp_path / "metrics.jsonl") as f:
         rec = json.loads(f.readline())
     assert rec == {"tag": "train/loss", "value": 1.5, "step": 3}
+
+
+def test_npz_trajectory_roundtrip(tmp_path):
+    """npz is the preferred shareable trajectory format (no pickle
+    deserialization of untrusted files); load_any must read it back
+    identically to the pkl list-of-tuples form."""
+    import numpy as np
+
+    from nightmare_rl_tpu.tools.replay import load_any, save_npz
+
+    rng = np.random.default_rng(0)
+    traj = [(0.016 * (k + 1), rng.normal(size=25), rng.normal(size=24),
+             rng.normal(size=18)) for k in range(7)]
+    path = str(tmp_path / "traj.npz")
+    save_npz(path, traj)
+    back = load_any(path)
+    assert len(back) == 7
+    for (t0, q0, v0, a0), (t1, q1, v1, a1) in zip(traj, back):
+        assert abs(t0 - t1) < 1e-12
+        np.testing.assert_array_equal(q0, q1)
+        np.testing.assert_array_equal(v0, v1)
+        np.testing.assert_array_equal(a0, a1)
