@@ -53,7 +53,13 @@ def main() -> None:
     net = ActorCritic(num_actions=env.num_actions)
     obs0 = jnp.zeros((1, env.num_obs), jnp.float32)
     params = net.init(jax.random.PRNGKey(0), obs0)
-    if args.ckpt:
+    if args.ckpt and args.ckpt.endswith(".pt"):
+        # reference torch checkpoint (rsl_rl format, play.py:65-72)
+        from nightmare_rl_tpu.utils.torch_io import load_pt
+
+        params = load_pt(args.ckpt, params)
+        print(f"loaded reference torch checkpoint {args.ckpt}")
+    elif args.ckpt:
         from nightmare_rl_tpu.rl.ppo import PPO
 
         ppo = PPO(env, PPOCfg())
