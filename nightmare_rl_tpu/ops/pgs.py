@@ -361,27 +361,38 @@ def pgs_solve(
 
 
 def _probe_problem(rng, N, nefc, nv, lay_shape, ns_offset, dtype):
-    """Random constraint system shaped like the real one, for mode probing."""
+    """Random constraint system shaped like the real one, for mode probing.
+    Includes a synthetic block-arrow mass-matrix factor so each candidate
+    can be timed WITH its own precompute (the dense paths build
+    M⁻¹ + U = J M⁻¹ per solve; the leg-sparse path builds G row panels)."""
     import numpy as np
 
     J = rng.normal(size=(N, nefc, nv))
-    X = rng.normal(size=(nv, nv))
-    Minv = X @ X.T + np.eye(nv) * 0.1
-    U = J @ Minv
     b = rng.normal(size=(N, nefc)) * 5
     R = np.abs(rng.normal(size=(N, nefc))) + 0.01
     lo = np.zeros((N, nefc))
     hi = np.full((N, nefc), 3e38)
     lo[:, :ns_offset] = -2.0
     hi[:, :ns_offset] = 2.0
-    out = [jnp.asarray(x, dtype) for x in (J, U, b, R, lo, hi)]
-    if lay_shape is not None:
+    if lay_shape is None:
+        B, s, nb = max(1, (nv - 6) // 3), 3, 6
+        if nb + B * s != nv:
+            B, s, nb = 1, nv - 6 if nv > 6 else 1, 6 if nv > 6 else nv - 1
+    else:
         B, s, nb = lay_shape
-        Gp = rng.normal(size=(N, nefc, 2 * s + nb))
-        l1 = rng.integers(0, B, size=nefc)
-        out += [jnp.asarray(Gp, dtype), jnp.asarray(l1, jnp.int32),
-                jnp.asarray((l1 + 1) % B, jnp.int32)]
-    return out
+    # random well-conditioned arrow factor blocks (batched over envs)
+    Ld = np.tril(rng.normal(size=(N, B, s, s)))
+    ii = np.arange(s)
+    Ld[:, :, ii, ii] = np.abs(Ld[:, :, ii, ii]) + 1.0
+    W = rng.normal(size=(N, B, s, nb)) * 0.3
+    Ls = np.tril(rng.normal(size=(N, nb, nb)))
+    jj = np.arange(nb)
+    Ls[:, jj, jj] = np.abs(Ls[:, jj, jj]) + 1.0
+    C = Ld @ W
+    l1 = rng.integers(0, B, size=nefc)
+    l2 = (l1 + 1) % max(B, 1)
+    out = [jnp.asarray(x, dtype) for x in (J, b, R, lo, hi, Ld, W, Ls, C)]
+    return out + [jnp.asarray(l1, jnp.int32), jnp.asarray(l2, jnp.int32)]
 
 
 _MODE_CACHE: dict = {}
@@ -412,50 +423,91 @@ def _probed_mode(nefc: int, nv: int, iterations: int, noslip: int,
 
     import numpy as np
 
+    # lazy: physics.arrow imports only ops.linalg, no cycle at call time
+    from nightmare_rl_tpu.physics.arrow import (
+        ArrowFac, ArrowLayout, _solve_tril, inv as arrow_inv,
+    )
+
     N = 512
     rng = np.random.default_rng(0)
     dtype = jnp.dtype(dtype_name)
-    args = _probe_problem(rng, N, nefc, nv,
-                          lay_shape if legs_available else None,
-                          ns_offset, dtype)
-    J, U, b, R, lo, hi = args[:6]
+    if lay_shape is not None:
+        B, s, nb = lay_shape
+    else:
+        B, s, nb = max(1, (nv - 6) // 3), 3, 6
+    J, b, R, lo, hi, Ld, W, Ls, C, l1, l2 = _probe_problem(
+        rng, N, nefc, nv, (B, s, nb) if nb + B * s == nv else None,
+        ns_offset, dtype)
+    lay = ArrowLayout(nv, nb, B, s) if nb + B * s == nv else None
+
+    # every candidate is timed WITH its own per-solve precompute, matching
+    # what physics/solver.py actually runs per step: the dense paths pay
+    # M^-1 (from the factor) + U = J M^-1, the sparse path pays G panels
+    def dense_inputs(Ld1, W1, Ls1, J1):
+        Minv = arrow_inv(lay, ArrowFac(Ld1, W1, Ls1, None))
+        return J1 @ Minv
+
+    def leg_panels(Ld1, W1, Ls1, J1):
+        ar = jnp.arange(s)
+        j1 = jnp.take_along_axis(J1, nb + s * l1[:, None] + ar[None], axis=1)
+        j2 = jnp.take_along_axis(J1, nb + s * l2[:, None] + ar[None], axis=1)
+        jb = J1[:, :nb]
+        g1 = _solve_tril(Ld1[l1], j1[..., None])[..., 0]
+        g2 = _solve_tril(Ld1[l2], j2[..., None])[..., 0]
+        rb = (jb - jnp.einsum("rs,rsk->rk", g1, W1[l1])
+              - jnp.einsum("rs,rsk->rk", g2, W1[l2]))
+        gb = _solve_tril(Ls1, rb.T).T
+        return jnp.concatenate([g1, g2, gb], axis=1)
 
     cands = {}
-    cands["scan"] = jax.jit(jax.vmap(
-        lambda j, u, bb, rr, l, h: _scan_core(
-            j, u, bb, rr, l, h, iterations, noslip, ns_offset)
-    ))
-    if jax.default_backend() == "tpu":
-        cands["kernel"] = functools.partial(
-            pgs_solve, iterations=iterations, noslip=noslip,
-            ns_offset=ns_offset)
-    if legs_available:
-        B, s, nb = lay_shape
-        Gp, l1, l2 = args[6:]
-        legs_fn = jax.jit(jax.vmap(
-            lambda gp, bb, rr, l, h: _scan_core_legs(
-                gp, l1, l2, bb, rr, l, h, B, s, nb,
-                iterations, noslip, ns_offset)
-        ))
-        cands["legs"] = lambda *_: legs_fn(Gp, b, R, lo, hi)
+    if lay is not None:
+        cands["scan"] = jax.jit(lambda: jax.vmap(
+            lambda j, u, bb, rr, l, h: _scan_core(
+                j, u, bb, rr, l, h, iterations, noslip, ns_offset)
+        )(J, jax.vmap(dense_inputs)(Ld, W, Ls, J), b, R, lo, hi))
+        if jax.default_backend() == "tpu":
+            cands["kernel"] = jax.jit(lambda: pgs_solve(
+                J, jax.vmap(dense_inputs)(Ld, W, Ls, J), b, R, lo, hi,
+                iterations=iterations, noslip=noslip, ns_offset=ns_offset))
+        if legs_available:
+            cands["legs"] = jax.jit(lambda: jax.vmap(
+                lambda gp, bb, rr, l, h: _scan_core_legs(
+                    gp, l1, l2, bb, rr, l, h, B, s, nb,
+                    iterations, noslip, ns_offset)
+            )(jax.vmap(leg_panels)(Ld, W, Ls, J), b, R, lo, hi))
+    else:
+        # no arrow structure: dense paths with a fixed random M^-1
+        X = jnp.asarray(np.random.default_rng(1).normal(size=(nv, nv)),
+                        dtype)
+        Minv = X @ X.T + 0.1 * jnp.eye(nv, dtype=dtype)
+        cands["scan"] = jax.jit(lambda: jax.vmap(
+            lambda j, u, bb, rr, l, h: _scan_core(
+                j, u, bb, rr, l, h, iterations, noslip, ns_offset)
+        )(J, J @ Minv, b, R, lo, hi))
+        if jax.default_backend() == "tpu":
+            cands["kernel"] = jax.jit(lambda: pgs_solve(
+                J, J @ Minv, b, R, lo, hi, iterations=iterations,
+                noslip=noslip, ns_offset=ns_offset))
 
-    best, best_t = None, None
+    best, best_t, timings = None, None, {}
     for name, fn in cands.items():
         try:
             times = []
             for _ in range(4):
                 t0 = time.perf_counter()
-                float(fn(J, U, b, R, lo, hi).sum())  # forces execution
-                times.append(time.perf_counter() - t0)
+                float(fn().sum())           # forces execution (axon: no
+                times.append(time.perf_counter() - t0)  # block_until_ready)
             t = min(times[1:])  # first rep pays compile
         except Exception as e:  # e.g. Mosaic unavailable
             print(f"pgs probe: {name} failed ({type(e).__name__}), skipping")
             continue
+        timings[name] = t
         if best_t is None or t < best_t:
             best, best_t = name, t
     best = best or "scan"
-    print(f"pgs probe: selected '{best}' "
-          f"({', '.join(f'{n}' for n in cands)} probed, nefc={nefc}, nv={nv})")
+    detail = ", ".join(f"{n}={t * 1e3:.1f}ms" for n, t in timings.items())
+    print(f"pgs probe: selected '{best}' ({detail}; nefc={nefc}, nv={nv}, "
+          f"N={N})")
     return best
 
 
