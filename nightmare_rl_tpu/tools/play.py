@@ -33,6 +33,11 @@ def main() -> None:
                         "ò/ù = wz± like the reference play.py:36-47)")
     p.add_argument("--out", type=str, default=None,
                    help="save the trajectory to this .pkl (replay format)")
+    p.add_argument("--stochastic", action="store_true",
+                   help="sample actions from the policy distribution like "
+                        "the reference's play.py:122 does (its .act() "
+                        "samples); default is the deterministic mean — a "
+                        "stricter eval than the reference's own demo")
     args = p.parse_args()
 
     if args.live:
@@ -74,8 +79,10 @@ def main() -> None:
     state = state.replace(commands=cmd)
 
     @jax.jit
-    def policy_step(params, state, obs):
-        mu = net.apply(params, obs, method=ActorCritic.act_inference)
+    def policy_step(params, state, obs, key):
+        mu, std, _ = net.apply(params, obs)
+        if args.stochastic:
+            mu = mu + std * jax.random.normal(key, mu.shape, mu.dtype)
         out = env._step_batch(state.replace(commands=cmd), mu)
         # body-frame velocities the tracking rewards see: obs[0:3] is
         # lin_vel * 2.0, obs[3:6] is ang_vel * 0.25 (obs scales,
@@ -89,9 +96,11 @@ def main() -> None:
     traj, vels, feet_f = [], [], []
     falls = timeouts = 0
     t = 0.0
+    key = jax.random.PRNGKey(17)
     for k in range(args.steps):
+        key, k_act = jax.random.split(key)
         state, obs, rew, done, time_out, vel, feet = policy_step(
-            params, state, obs)
+            params, state, obs, k_act)
         traj.append(
             (t, np.asarray(state.phys.qpos[0]).astype(np.float64),
              np.asarray(state.phys.qvel[0]).astype(np.float64), np.zeros(0))

@@ -18,22 +18,36 @@ import numpy as np
 
 
 def load(root):
-    runs = defaultdict(dict)   # side -> seed -> {metric: np.array over iters}
+    """side -> seed -> {metric: array aligned by iteration}.  Episodic
+    per-term metrics only appear on iterations where envs reset; they are
+    forward-filled (each value IS the latest finished-episode snapshot) and
+    NaN before the first snapshot."""
+    runs = defaultdict(dict)
     for d in sorted(glob.glob(os.path.join(root, "*_s*"))):
         name = os.path.basename(d)
         side, seed = name.rsplit("_s", 1)
         rows = [json.loads(l) for l in open(os.path.join(d, "metrics.jsonl"))]
-        series = defaultdict(list)
-        for r in rows:
-            for k, v in r.items():
-                series[k].append(v)
-        runs[side][int(seed)] = {k: np.asarray(v) for k, v in series.items()}
+        n = len(rows)
+        keys = set().union(*(r.keys() for r in rows))
+        series = {}
+        for k in keys:
+            arr = np.full(n, np.nan)
+            last = np.nan
+            for i, r in enumerate(rows):
+                if k in r:
+                    last = r[k]
+                arr[i] = last
+            series[k] = arr
+        runs[side][int(seed)] = series
     return runs
 
 
 def window_mean(arr, lo, hi):
     lo, hi = max(lo, 0), min(hi, len(arr))
-    return float(np.mean(arr[lo:hi])) if hi > lo else float("nan")
+    if hi <= lo:
+        return float("nan")
+    w = arr[lo:hi]
+    return float(np.nanmean(w)) if np.isfinite(w).any() else float("nan")
 
 
 def main() -> None:
