@@ -221,7 +221,7 @@ class OnPolicyRunner:
             signal.signal(s, h)
         if self.log_dir:
             self.save(int(self.ts.iteration))
-        total = num_learning_iterations * steps_per_iter
+        total = (k + 1) * steps_per_iter  # iterations actually run
         wall = time.time() - t_start
         print(f"total: {total:,} env-steps in {wall:.1f}s "
               f"({total / wall:,.0f} env-steps/s)")
