@@ -8,7 +8,7 @@
 # dev-box harness, equivalent in spirit to the preemption-recovery flow
 # (SIGTERM -> checkpoint -> -r).
 #
-#   scripts/train_supervised.sh <log_root> <envs> <target_iter> [chunk=500] [seed=1]
+#   scripts/train_supervised.sh <log_root> <envs> <target_iter> [chunk=500] [seed=1] [robot=nightmare_v3]
 
 set -u
 LOG_ROOT=${1:?log_root}
@@ -16,6 +16,7 @@ ENVS=${2:?envs}
 TARGET=${3:?target_iter}
 CHUNK=${4:-500}
 SEED=${5:-1}
+ROBOT=${6:-nightmare_v3}
 
 # exactly one supervisor per box: two supervisors' liveness probes can keep a
 # wedged tunnel wedged forever (docs/BENCH_NOTES.md).  flock enforces what
@@ -69,7 +70,7 @@ while true; do
   fi
   echo "supervisor: at iter $cur, launching chunk of $todo"
   python -u -m nightmare_rl_tpu.tools.train -e "$ENVS" -n "$todo" \
-    --seed "$SEED" "${RESUME[@]}" --log_root "$LOG_ROOT" &
+    --seed "$SEED" --robot "$ROBOT" "${RESUME[@]}" --log_root "$LOG_ROOT" &
   PID=$!
   # watch for stalls: kill the chunk if the newest event file stops growing
   last_size=0; last_change=$(date +%s)
