@@ -137,8 +137,20 @@ class AnymalCEnv:
         self.reward_scales = jnp.array(
             [scales[n] * self.dt for n in self.active_rewards], dtype
         )
-        self._step_batch = jax.jit(jax.vmap(self._step_one))
-        self._init_batch = jax.jit(jax.vmap(self._init_one))
+        # the Newton solver's curvature math NaNs under the TPU default
+        # (bf16-accumulated) matmul precision — the PGS hexapod survives it,
+        # Newton's line search does not.  Trace the physics at full f32
+        # matmul precision (no-op on CPU; measured fix on the axon TPU).
+        def _step_hp(state, action):
+            with jax.default_matmul_precision("float32"):
+                return self._step_one(state, action)
+
+        def _init_hp(key):
+            with jax.default_matmul_precision("float32"):
+                return self._init_one(key)
+
+        self._step_batch = jax.jit(jax.vmap(_step_hp))
+        self._init_batch = jax.jit(jax.vmap(_init_hp))
 
     def _sample_commands(self, key):
         c = self.cfg
