@@ -179,6 +179,15 @@ class OnPolicyRunner:
             t0 = time.time()
             self.ts, stats = self.ppo.learn_step(self.ts)
             loss = float(stats["loss"])  # device->host sync (honest timing)
+            if not np.isfinite(loss):
+                # never checkpoint a diverged state: a NaN save poisons the
+                # resume chain (the supervisor would loop on it forever)
+                print(f"iter {int(self.ts.iteration)}: loss is {loss} — "
+                      "aborting WITHOUT saving; resume from the last good "
+                      "checkpoint")
+                for s, h in prev_handlers.items():
+                    signal.signal(s, h)
+                raise FloatingPointError("training diverged (non-finite loss)")
             if self.ppo.record_states:
                 qp, qv, act, done, cmd = stats["record"]
                 if self.recorder is not None:
