@@ -27,9 +27,11 @@ if ! flock -n 9; then
   echo "supervisor: another supervisor holds $LOCK — refusing to start" >&2
   exit 1
 fi
-# must exceed resume+compile (~3 min with no event-file growth) or healthy
-# restarts get killed mid-compile
+# stall threshold once metrics are flowing; the FIRST growth gets a longer
+# grace because a cold compile can exceed 5 min (anymal_c Newton at 2048
+# envs) and killing a healthy compile loops the supervisor forever
 STALL_SECS=300
+FIRST_GRACE=1200
 
 latest_iter() {
   ls "$LOG_ROOT"/*/model_* 2>/dev/null -d | sed 's/.*model_//' | sort -n | tail -1
@@ -73,16 +75,18 @@ while true; do
     --seed "$SEED" --robot "$ROBOT" "${RESUME[@]}" --log_root "$LOG_ROOT" &
   PID=$!
   # watch for stalls: kill the chunk if the newest event file stops growing
-  last_size=0; last_change=$(date +%s)
+  last_size=0; last_change=$(date +%s); grew=0
   while kill -0 "$PID" 2>/dev/null; do
     sleep 30
     ev=$(evfile)
     size=$(stat -c %s "$ev" 2>/dev/null || echo 0)
     now=$(date +%s)
+    limit=$STALL_SECS; [ "$grew" -eq 0 ] && limit=$FIRST_GRACE
     if [ "$size" != "$last_size" ]; then
+      [ "$last_size" -gt 0 ] && grew=1
       last_size=$size; last_change=$now
-    elif [ $(( now - last_change )) -gt "$STALL_SECS" ]; then
-      echo "supervisor: stall detected ($(( now - last_change ))s no progress), killing $PID"
+    elif [ $(( now - last_change )) -gt "$limit" ]; then
+      echo "supervisor: stall detected ($(( now - last_change ))s no progress, grew=$grew), killing $PID"
       kill "$PID"; sleep 15; kill -9 "$PID" 2>/dev/null
       break
     fi
