@@ -181,6 +181,11 @@ class NightmareV3Cfg:
 class PolicyCfg:
     # envs/nightmare_v3_config.py:105-113
     init_noise_std: float = 1.0
+    # NOT in the reference (rsl_rl has no exploration floor).  Flag-gated
+    # deviation: >0 clamps the sampling std at this value to prevent the
+    # standing-local-optimum collapse documented in docs/BENCH_NOTES.md
+    # rounds 3-4.  Default 0.0 = exact parity config.
+    std_floor: float = 0.0
     actor_hidden_dims: Tuple[int, ...] = (54, 42, 30)
     critic_hidden_dims: Tuple[int, ...] = (54, 42, 30)
     activation: str = "elu"

@@ -44,6 +44,14 @@ class ActorCritic(nn.Module):
     critic_hidden: Sequence[int] = (54, 42, 30)
     activation: str = "elu"
     init_noise_std: float = 1.0
+    # Exploration floor (flag-gated DEVIATION from rsl_rl, which has none):
+    # the free-parameter std can collapse to ~0.07 in a standing local
+    # optimum and strand the tracking terms (docs/BENCH_NOTES.md rounds 3-4).
+    # 0.0 (default) = exact rsl_rl parity; >0 clamps the std used for
+    # sampling/likelihood at this value (clamp gradient is zero below the
+    # floor, so the collapse simply stops instead of needing operator
+    # surgery via scripts/reset_exploration.py).
+    std_floor: float = 0.0
 
     def setup(self):
         self.actor = MLP(self.actor_hidden, self.num_actions, self.activation)
@@ -60,6 +68,8 @@ class ActorCritic(nn.Module):
         mu = self.actor(obs)
         v = self.critic(obs)[..., 0]
         std = jnp.broadcast_to(self.std, mu.shape)
+        if self.std_floor > 0.0:
+            std = jnp.maximum(std, self.std_floor)
         return mu, std, v
 
     def act_inference(self, obs):
@@ -83,6 +93,7 @@ class ActorCriticRecurrent(nn.Module):
     activation: str = "elu"
     init_noise_std: float = 1.0
     rnn_hidden: int = 512
+    std_floor: float = 0.0  # see ActorCritic.std_floor
 
     def setup(self):
         self.memory_a = nn.OptimizedLSTMCell(self.rnn_hidden)
@@ -108,6 +119,8 @@ class ActorCriticRecurrent(nn.Module):
         mu = self.actor(out_a)
         v = self.critic(out_c)[..., 0]
         std = jnp.broadcast_to(self.std, mu.shape)
+        if self.std_floor > 0.0:
+            std = jnp.maximum(std, self.std_floor)
         return (mu, std, v), (carry_a, carry_c)
 
 

@@ -85,6 +85,7 @@ class PPO:
                 activation=p.activation,
                 init_noise_std=p.init_noise_std,
                 rnn_hidden=p.rnn_hidden_size,
+                std_floor=p.std_floor,
             )
         else:
             self.net = ac.ActorCritic(
@@ -93,6 +94,7 @@ class PPO:
                 critic_hidden=tuple(p.critic_hidden_dims),
                 activation=p.activation,
                 init_noise_std=p.init_noise_std,
+                std_floor=p.std_floor,
             )
         a = cfg.algorithm
         self.tx = optax.chain(
@@ -411,7 +413,12 @@ class PPO:
             # exploration health: rsl_rl's free-parameter std has no floor and
             # its collapse stalled the round-3 run (docs/BENCH_NOTES.md) —
             # surface it so the curves show collapse as it happens
-            mean_noise_std=jnp.abs(new_ts.params["params"]["std"]).mean(),
+            # effective value: the optional std_floor clamp (actor_critic.py)
+            # applies at use time, so report what sampling actually sees
+            mean_noise_std=jnp.maximum(
+                jnp.abs(new_ts.params["params"]["std"]),
+                self.cfg.policy.std_floor,
+            ).mean(),
         )
         if self.record_states:
             # (qpos, qvel, action, done, commands), each (T, ·)

@@ -38,8 +38,15 @@ def main() -> None:
                         "the reference's play.py:122 does (its .act() "
                         "samples); default is the deterministic mean — a "
                         "stricter eval than the reference's own demo")
+    p.add_argument("--grid", action="store_true",
+                   help="batched command-envelope eval: one env per command "
+                        "over {vx±0.3, wz±0.4, combined, zero}, vectorized "
+                        "on device (the round-5 done-criterion table)")
     args = p.parse_args()
 
+    if args.grid:
+        grid_eval(args)
+        return
     if args.live:
         live_teleop(args)
         return
@@ -117,11 +124,23 @@ def main() -> None:
     # skip the first second (reset transient / getting into gait)
     settle = min(int(1.0 / env.dt), len(vels) // 2)
     vx_mean, wz_mean = vels[settle:, 0].mean(), vels[settle:, 5].mean()
+    # the reward tracks the full ‖Δv_xy‖, so body-frame vy error is
+    # first-class: report it plus the world-frame lateral drift and heading
+    # drift the vx/wz numbers can hide (round-4 verdict: the det walk
+    # drifted +0.86 m sideways unreported)
+    vy_mean = vels[settle:, 1].mean()
+    qpos_final = np.asarray(state.phys.qpos[0])
+    w, x, y, z = qpos_final[3:7]
+    yaw_final = np.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
     print(f"rolled out {args.steps} steps ({args.steps * env.dt:.1f} s); "
-          f"final base pos {np.asarray(state.phys.qpos[0][:3]).round(3)}")
+          f"final base pos {qpos_final[:3].round(3)}")
     print(f"eval: cmd vx={args.vx:+.2f} wz={args.wz:+.2f} | achieved "
-          f"vx={vx_mean:+.3f} wz={wz_mean:+.3f} (mean after {settle} steps) | "
-          f"falls={falls} timeouts={timeouts}")
+          f"vx={vx_mean:+.3f} vy={vy_mean:+.3f} wz={wz_mean:+.3f} "
+          f"(mean after {settle} steps) | falls={falls} timeouts={timeouts}")
+    print(f"drift: lateral y={qpos_final[1]:+.3f} m "
+          f"(vy err {vy_mean:+.3f} m/s vs cmd 0) | "
+          f"heading {np.degrees(yaw_final):+.1f} deg"
+          + ("" if abs(args.wz) > 1e-6 else " (vs cmd 0)"))
     print_gait_metrics(
         np.stack(feet_f)[settle:],
         np.stack([q for (_, q, _, _) in traj])[settle:, 2], env.dt)
@@ -138,6 +157,85 @@ def main() -> None:
 
     if args.view:
         replay_in_viewer(traj)
+
+
+def grid_eval(args) -> None:
+    """Command-envelope eval: one env per grid command, stepped in lockstep
+    on device (a single vmapped rollout — TPU-native, ~as fast as one env).
+    This is the teleop envelope the reference demos by hand
+    (play.py:36-47 binds keys to vx AND ωz): the policy must track both.
+    Prints achieved vx/vy/wz vs command, falls, and base height per row."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nightmare_rl_tpu.core.config import EnvCfg, NightmareV3Cfg, PPOCfg
+    from nightmare_rl_tpu.envs.nightmare_v3 import NightmareV3Env
+    from nightmare_rl_tpu.models.actor_critic import ActorCritic
+    from nightmare_rl_tpu.utils import checkpoint as ckpt
+
+    grid = np.array([
+        [+0.3, 0.0, 0.0],
+        [-0.3, 0.0, 0.0],
+        [0.0, 0.0, +0.4],
+        [0.0, 0.0, -0.4],
+        [+0.3, 0.0, +0.4],
+        [+0.3, 0.0, -0.4],
+        [0.0, 0.0, 0.0],
+    ], np.float32)
+    G = len(grid)
+    env = NightmareV3Env(NightmareV3Cfg().replace(env=EnvCfg(num_envs=G)))
+    net = ActorCritic(num_actions=env.num_actions)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((G, env.num_obs), jnp.float32))
+    if args.ckpt and args.ckpt.endswith(".pt"):
+        from nightmare_rl_tpu.utils.torch_io import load_pt
+
+        params = load_pt(args.ckpt, params)
+    elif args.ckpt:
+        from nightmare_rl_tpu.rl.ppo import PPO
+
+        ts = PPO(env, PPOCfg()).init(0)
+        params = ckpt.restore(args.ckpt, ts).params
+    print(f"grid eval: {args.ckpt or 'random policy'} | {G} commands x "
+          f"{args.steps} steps ({args.steps * env.dt:.1f} s), "
+          f"{'stochastic' if args.stochastic else 'deterministic mean'}")
+
+    cmd = jnp.asarray(grid)
+    state, obs = env.reset(0)
+    state = state.replace(commands=cmd)
+
+    @jax.jit
+    def step(params, state, obs, key):
+        mu, std, _ = net.apply(params, obs)
+        if args.stochastic:
+            mu = mu + std * jax.random.normal(key, mu.shape, mu.dtype)
+        out = env._step_batch(state.replace(commands=cmd), mu)
+        vel = jnp.concatenate(
+            [out.obs[:, :3] / 2.0, out.obs[:, 3:6] / 0.25], axis=1)
+        fall = out.done & ~out.time_out
+        return out.state, out.obs, vel, fall, out.state.phys.qpos[:, 2]
+
+    vels, falls, zs = [], np.zeros(G, int), []
+    key = jax.random.PRNGKey(17)
+    for _ in range(args.steps):
+        key, k = jax.random.split(key)
+        state, obs, vel, fall, z = step(params, state, obs, k)
+        vels.append(np.asarray(vel))
+        falls += np.asarray(fall).astype(int)
+        zs.append(np.asarray(z))
+    vels, zs = np.stack(vels), np.stack(zs)          # (T, G, 6), (T, G)
+    settle = min(int(1.0 / env.dt), len(vels) // 2)
+    v = vels[settle:]
+    print(f"{'cmd vx':>7} {'wz':>6} | {'vx':>7} {'vy':>7} {'wz':>7} |"
+          f" {'vx%':>5} {'wz%':>5} | {'falls':>5} {'base_z':>6}")
+    for i, (cvx, _, cwz) in enumerate(grid):
+        ax, ay, az = v[:, i, 0].mean(), v[:, i, 1].mean(), v[:, i, 5].mean()
+        pvx = 100 * ax / cvx if abs(cvx) > 1e-6 else float("nan")
+        pwz = 100 * az / cwz if abs(cwz) > 1e-6 else float("nan")
+        print(f"{cvx:+7.2f} {cwz:+6.2f} | {ax:+7.3f} {ay:+7.3f} {az:+7.3f} |"
+              f" {pvx:5.0f} {pwz:5.0f} | {falls[i]:5d}"
+              f" {zs[settle:, i].mean():6.3f}")
 
 
 def print_gait_metrics(feet_force, base_z, dt: float) -> None:

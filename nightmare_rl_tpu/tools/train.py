@@ -31,6 +31,10 @@ def main() -> None:
                    help="write a jax.profiler trace of iterations 2-4 here")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (pod slices)")
+    p.add_argument("--std_floor", type=float, default=0.0,
+                   help="exploration floor on the action std (flag-gated "
+                        "deviation from rsl_rl; 0 = parity config — see "
+                        "core/config.py PolicyCfg.std_floor)")
     args = p.parse_args()
 
     if args.multihost:
@@ -46,6 +50,11 @@ def main() -> None:
     print(f"Logging to {log_dir}")
 
     pcfg = PPOCfg().replace(seed=args.seed)
+    if args.std_floor > 0.0:
+        import dataclasses
+
+        pcfg = pcfg.replace(policy=dataclasses.replace(
+            pcfg.policy, std_floor=args.std_floor))
 
     if args.robot == "anymal_c":
         from nightmare_rl_tpu.envs.anymal_c import AnymalCCfg, AnymalCEnv

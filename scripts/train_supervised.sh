@@ -8,7 +8,7 @@
 # dev-box harness, equivalent in spirit to the preemption-recovery flow
 # (SIGTERM -> checkpoint -> -r).
 #
-#   scripts/train_supervised.sh <log_root> <envs> <target_iter> [chunk=500] [seed=1] [robot=nightmare_v3]
+#   scripts/train_supervised.sh <log_root> <envs> <target_iter> [chunk=500] [seed=1] [robot=nightmare_v3] [extra train.py args...]
 
 set -u
 LOG_ROOT=${1:?log_root}
@@ -17,6 +17,8 @@ TARGET=${3:?target_iter}
 CHUNK=${4:-500}
 SEED=${5:-1}
 ROBOT=${6:-nightmare_v3}
+shift $(( $# < 6 ? $# : 6 ))
+EXTRA=("$@")   # passed verbatim to train.py (e.g. --std_floor 0.15)
 
 # exactly one supervisor per box: two supervisors' liveness probes can keep a
 # wedged tunnel wedged forever (docs/BENCH_NOTES.md).  flock enforces what
@@ -72,7 +74,8 @@ while true; do
   fi
   echo "supervisor: at iter $cur, launching chunk of $todo"
   python -u -m nightmare_rl_tpu.tools.train -e "$ENVS" -n "$todo" \
-    --seed "$SEED" --robot "$ROBOT" "${RESUME[@]}" --log_root "$LOG_ROOT" &
+    --seed "$SEED" --robot "$ROBOT" "${RESUME[@]}" --log_root "$LOG_ROOT" \
+    ${EXTRA[@]+"${EXTRA[@]}"} &
   PID=$!
   # watch for stalls: kill the chunk if the newest event file stops growing
   last_size=0; last_change=$(date +%s); grew=0
