@@ -397,6 +397,52 @@ def _probe_problem(rng, N, nefc, nv, lay_shape, ns_offset, dtype):
 
 _MODE_CACHE: dict = {}
 
+# Persistent probe-verdict cache (VERDICT r4 weak #6: each process paid a
+# fresh ~4-rep probe per shape and the winner drifted ~15% between runs —
+# e.g. every supervisor training chunk).  Keyed on the full choose_mode key
+# PLUS a backend fingerprint; delete the file (or set
+# NIGHTMARE_PROBE=reprobe) to re-measure, NIGHTMARE_PROBE_CACHE=path to
+# relocate, NIGHTMARE_PROBE_CACHE= (empty) to disable.
+_PROBE_CACHE_PATH = os.environ.get(
+    "NIGHTMARE_PROBE_CACHE", "/tmp/nightmare_pgs_probe.json"
+)
+
+
+def _backend_fingerprint() -> str:
+    try:
+        d = jax.devices()[0]
+        return f"{d.platform}/{d.device_kind}/jax{jax.__version__}"
+    except Exception:
+        return "unknown"
+
+
+def _probe_cache_load() -> dict:
+    if not _PROBE_CACHE_PATH:
+        return {}
+    try:
+        import json
+
+        with open(_PROBE_CACHE_PATH) as fh:
+            return json.load(fh)
+    except Exception:
+        return {}
+
+
+def _probe_cache_store(key_s: str, mode: str) -> None:
+    if not _PROBE_CACHE_PATH:
+        return
+    try:
+        import json
+
+        data = _probe_cache_load()
+        data[key_s] = mode
+        tmp = f"{_PROBE_CACHE_PATH}.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(data, fh)
+        os.replace(tmp, _PROBE_CACHE_PATH)  # atomic vs concurrent writers
+    except Exception:
+        pass
+
 
 def _trace_state_clean() -> bool:
     """True when no jit/vmap trace is in progress (device programs are then
@@ -533,17 +579,33 @@ def choose_mode(legs_available: bool, nefc: int, nv: int, iterations: int,
            legs_available, dtype_name)
     if key in _MODE_CACHE:
         return _MODE_CACHE[key]
+    key_s = f"{_backend_fingerprint()}|{key}"
+    if os.environ.get("NIGHTMARE_PROBE") != "reprobe":
+        cached = _probe_cache_load().get(key_s)
+        if cached in ("legs", "scan", "kernel") and (
+            cached != "legs" or legs_available
+        ):
+            _MODE_CACHE[key] = cached
+            return cached
     if not _trace_state_clean():
         return "legs" if legs_available else "scan"
     mode = _probed_mode(*key)
     _MODE_CACHE[key] = mode
+    _probe_cache_store(key_s, mode)
     return mode
 
 
 @functools.lru_cache(maxsize=None)
-def pgs_core(iterations: int, noslip: int, ns_offset: int = 0):
+def pgs_core(iterations: int, noslip: int, ns_offset: int = 0,
+             mode_hint: str = None):
     """Dense matrix-free PGS core that upgrades itself to the Pallas kernel
-    under vmap (NIGHTMARE_PGS=kernel, or the dispatch probe's choice)."""
+    under vmap (NIGHTMARE_PGS=kernel, or the dispatch probe's choice).
+
+    ``mode_hint`` threads the caller's probed verdict into the vmap rule:
+    without it, the rule re-queries choose_mode inside the trace under a
+    DIFFERENT cache key (legs_available=False, lay_shape=None) that the
+    eager probe never filled, so a probed 'kernel' verdict silently
+    downgraded to 'scan' (ADVICE r4 medium #1)."""
 
     @jax.custom_batching.custom_vmap
     def core(J, U, b, R, lo, hi):
@@ -556,7 +618,7 @@ def pgs_core(iterations: int, noslip: int, ns_offset: int = 0):
             x if bt else jnp.broadcast_to(x, (axis_size,) + x.shape)
             for x, bt in zip((J, U, b, R, lo, hi), in_batched)
         )
-        mode = os.environ.get("NIGHTMARE_PGS")
+        mode = os.environ.get("NIGHTMARE_PGS") or mode_hint
         if mode is None and jax.default_backend() == "tpu":
             mode = choose_mode(False, J.shape[-2], J.shape[-1], iterations,
                                noslip, ns_offset, None, str(J.dtype))

@@ -427,6 +427,7 @@ _STATIC_FIELDS = [
     "site_bodyid", "cpoint_bodyid", "cpoint_sensor", "integrator",
     "solver_iterations", "noslip_iterations", "max_contacts", "eulerdamp",
     "cpoint_condim", "impratio", "solver_type", "cone", "ls_iterations",
+    "ls_refine",
 ]
 
 

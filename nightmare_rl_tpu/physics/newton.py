@@ -184,8 +184,13 @@ def solve(
     M: jnp.ndarray,
     qacc_smooth: jnp.ndarray,
     iterations: int,
-    ls_iterations: int,
+    ls_refine: int,
 ) -> NewtonOut:
+    """Newton solve with analytically bracketed exact line search.
+
+    ``ls_refine`` is the guarded refinement budget AFTER the batched
+    bracket grid (the caller clamps it with the XML's <option
+    ls_iterations> — see System.ls_refine)."""
     J, aref = efc.J, efc.aref
     a0 = qacc_smooth
     dtype = a0.dtype
@@ -228,11 +233,14 @@ def solve(
         # bracket (plus the unguarded Newton estimate) is evaluated in ONE
         # batched φ' call, then a few guarded Newton/bisection refinements
         # polish the bracketed root.  This cuts the sequential dependency
-        # chain from ~60 φ evaluations to ~8 — the difference between
-        # 3.6k and ~15k env-steps/s for anymal_c on a dispatch-bound
-        # backend — while keeping the bracket guarantee (pure scalar
-        # Newton can cycle across curvature breakpoints; period-2
-        # oscillation observed on anymal_c with mixed fl/cone rows).
+        # chain from ~60 φ evaluations to ~9, keeping the bracket
+        # guarantee (pure scalar Newton can cycle across curvature
+        # breakpoints; period-2 oscillation observed on anymal_c with
+        # mixed fl/cone rows).  Measured effect (scripts/bench_anymal_ab.py,
+        # tunnel TPU, 2048 envs): 3,676 -> 3,929 env-steps/s (+7%) — the
+        # anymal step is bandwidth-bound on the batched small ops, not
+        # line-search-chain-bound, so the win is real but modest; the
+        # shorter chain mainly helps latency-critical small batches.
         alpha_max = -d1_0 / jnp.maximum(pMp, tiny)
         a1 = -d1_0 / jnp.maximum(d2_0, tiny)
         fracs = jnp.asarray(
@@ -267,7 +275,7 @@ def solve(
 
         (lo, hi, alpha, d1_f, _), _ = jax.lax.scan(
             ls_body, (lo, hi, alpha_c, d1_c, d2_c), None,
-            length=min(ls_iterations, 8),
+            length=ls_refine,
         )
         # land on the descent side of the bracket when φ'(final) > 0
         alpha = jnp.where(d1_f <= 0.0, alpha, lo)

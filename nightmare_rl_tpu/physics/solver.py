@@ -466,8 +466,12 @@ def solve(
             Minv = linalg.spd_inv_from_chol(M_chol)
     U = efc.J @ Minv                                         # (nefc, nv)
 
+    # thread the probed verdict into the vmap rule (its own choose_mode
+    # re-query uses a different cache key the probe never fills — without
+    # the hint a probed 'kernel' silently downgraded to 'scan')
     core = pgs.pgs_core(sys.solver_iterations, sys.noslip_iterations,
-                        ns_offset)
+                        ns_offset,
+                        mode_hint=mode if mode in ("scan", "kernel") else None)
     f = core(efc.J, U, b, efc.R, efc.lo, efc.hi)
 
     qfrc = jnp.einsum("kn,k->n", efc.J, f)
@@ -638,9 +642,15 @@ def assemble(
         if pair is not None:
             nf = 3 if elliptic else 4
             la, lb = plm[pair.a], plm[pair.b]
+            # same-branch pair (e.g. within-leg coxa-tibia collision): J's
+            # leg-column block already carries BOTH points' contributions,
+            # and slot 1 gathers it whole — activating slot 2 as well would
+            # double-count the leg in the reconstructed G row (ADVICE r4
+            # medium #2).  Mask slot 2 to the distinct-branch case.
             add(jnp.repeat(jnp.maximum(la, 0), nf),
                 jnp.repeat(jnp.maximum(lb, 0), nf),
-                jnp.repeat(la >= 0, nf), jnp.repeat(lb >= 0, nf),
+                jnp.repeat(la >= 0, nf),
+                jnp.repeat((lb >= 0) & (la != lb), nf),
                 pair.a.shape[0] * nf)
         legmeta = LegMeta(
             jnp.concatenate(l1s), jnp.concatenate(l2s),
@@ -713,7 +723,8 @@ def solve_contacts(
     if use_newton:
         assert M is not None, "Newton solve needs the mass matrix"
         nsol = newton.solve(
-            nefc, M, qacc_smooth, sys.solver_iterations, sys.ls_iterations
+            nefc, M, qacc_smooth, sys.solver_iterations,
+            min(sys.ls_iterations, sys.ls_refine),
         )
         force = nsol.force
         if sys.noslip_iterations > 0 and not elliptic:

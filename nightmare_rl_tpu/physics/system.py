@@ -161,8 +161,18 @@ class System:
     solver_type: int = _static(default=SOLVER_PGS)
     # <option cone>: pyramidal=0 or elliptic=1 (anymal_c scene sets elliptic)
     cone: int = _static(default=PYRAMIDAL)
-    # <option ls_iterations>: Newton exact-linesearch iteration cap
+    # <option ls_iterations>: Newton exact-linesearch iteration cap.
+    # Our line search is not MuJoCo's sequential one: the root is
+    # ANALYTICALLY bracketed and located by a 12-candidate batched grid,
+    # then polished by `ls_refine` guarded Newton/bisection steps
+    # (newton.py::solve).  ls_iterations still upper-bounds the refinement
+    # (effective budget = min(ls_iterations, ls_refine)); values above
+    # ls_refine buy nothing because the bracketed root is already located
+    # to grid resolution (convergence pinned across a sampled training
+    # batch in tests/test_newton.py::test_anymal_refine_budget_converges).
     ls_iterations: int = _static(default=50)
+    # Bracketed-grid refinement budget (TPU-native knob, not in MuJoCo)
+    ls_refine: int = _static(default=8)
 
     @property
     def dtype(self):

@@ -173,7 +173,9 @@ class OnPolicyRunner:
             self.cfg.runner.num_steps_per_env * self.env.num_envs
         )
         t_start = time.time()
+        iters_run = 0
         for k in range(num_learning_iterations):
+            iters_run = k + 1
             if profile_dir and k == 2:  # skip compile iterations
                 jax.profiler.start_trace(profile_dir)
             t0 = time.time()
@@ -230,10 +232,10 @@ class OnPolicyRunner:
             signal.signal(s, h)
         if self.log_dir:
             self.save(int(self.ts.iteration))
-        total = (k + 1) * steps_per_iter  # iterations actually run
+        total = iters_run * steps_per_iter  # iterations actually run
         wall = time.time() - t_start
         print(f"total: {total:,} env-steps in {wall:.1f}s "
-              f"({total / wall:,.0f} env-steps/s)")
+              f"({total / max(wall, 1e-9):,.0f} env-steps/s)")
         return self.ts
 
 

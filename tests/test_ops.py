@@ -382,3 +382,93 @@ def test_arrow_solve_under_vmap():
         np.asarray(jnp.einsum("bij,bj->bi", Ms, xs)), np.asarray(bs),
         atol=1e-10,
     )
+
+
+def test_same_branch_pair_rows_match_dense():
+    """A collision pair whose two points map to the SAME branch (e.g.
+    within-leg coxa-tibia contact): J's leg-column block carries both
+    points' contributions at once, so the assemble fix masks slot 2
+    (has2=False, solver.py assemble) and slot 1 gathers the whole block.
+    The sparse core must equal the dense core row-exactly — with the
+    pre-fix metadata (has2=True, same leg in both slots) the reconstructed
+    G row double-counts the leg (ADVICE r4 medium #2)."""
+    from nightmare_rl_tpu.physics.arrow import ArrowFac, ArrowLayout
+    from nightmare_rl_tpu.physics.solver import LegMeta, _leg_panels
+
+    rng = np.random.default_rng(11)
+    dense, Gp, lm, lay, Minv = _random_arrow_problem(
+        rng, nefc=16, B=4, s=3, nb=6, ns_offset=0, npair_rows=4)
+    J, U, b, R, lo, hi = (np.array(x) for x in dense)
+    s, nb = lay.branch_size, lay.nbase
+    # rewrite the 4 pair rows as same-branch pairs: support entirely in
+    # leg1's columns (the union of both points' contributions), slot 2
+    # masked off — exactly what assemble now emits for la == lb
+    leg1 = np.asarray(lm.leg1).copy()
+    leg2 = np.asarray(lm.leg2).copy()
+    has1 = np.asarray(lm.has1).copy()
+    has2 = np.asarray(lm.has2).copy()
+    for r in range(12, 16):
+        leg2[r] = leg1[r]
+        has2[r] = False
+        J[r] = 0.0
+        sl = slice(nb + leg1[r] * s, nb + (leg1[r] + 1) * s)
+        J[r, sl] = rng.normal(size=s)  # both points' columns, combined
+    U = J @ np.asarray(Minv)
+    lm2 = LegMeta(jnp.asarray(leg1), jnp.asarray(leg2),
+                  jnp.asarray(has1), jnp.asarray(has2))
+    fac = None
+    # rebuild panels from the SAME factor used by _random_arrow_problem:
+    # recover it by re-deriving from Minv is overkill — recompute directly
+    # from a fresh factorization of M = Minv^-1
+    M = np.linalg.inv(np.asarray(Minv))
+    Lfull = np.linalg.cholesky(M)  # dense reference factor
+    # sparse-path panels via _leg_panels need the arrow factor; rebuild it
+    Ld = np.stack([
+        np.linalg.cholesky(M[nb + i * s: nb + (i + 1) * s,
+                             nb + i * s: nb + (i + 1) * s])
+        for i in range(lay.nbranch)
+    ])
+    W = np.stack([
+        np.linalg.solve(Ld[i], M[nb + i * s: nb + (i + 1) * s, :nb])
+        for i in range(lay.nbranch)
+    ])
+    S6 = M[:nb, :nb] - np.einsum("bsi,bsj->ij", W, W)
+    Ls = np.linalg.cholesky(S6)
+    fac = ArrowFac(jnp.asarray(Ld), jnp.asarray(W), jnp.asarray(Ls), None)
+    Gp2 = _leg_panels(lay, fac, jnp.asarray(J), lm2)
+
+    # identity: G Gᵀ = J M⁻¹ Jᵀ including the same-branch pair rows
+    g1 = np.asarray(Gp2[:, :s])
+    g2 = np.asarray(Gp2[:, s:2 * s])
+    gb = np.asarray(Gp2[:, 2 * s:])
+    G = np.zeros((16, lay.nv))
+    for r in range(16):
+        G[r, nb + int(leg1[r]) * s: nb + (int(leg1[r]) + 1) * s] += g1[r]
+        G[r, nb + int(leg2[r]) * s: nb + (int(leg2[r]) + 1) * s] += g2[r]
+        G[r, :nb] += gb[r]
+    np.testing.assert_allclose(G @ G.T, U @ J.T, atol=1e-8)
+
+    # and the sweeps agree with the dense core
+    d_out = pgs._scan_core(*(jnp.asarray(x) for x in (J, U, b, R, lo, hi)),
+                           3, 4, 0)
+    l_out = pgs._scan_core_legs(
+        Gp2, lm2.leg1, lm2.leg2, jnp.asarray(b), jnp.asarray(R),
+        jnp.asarray(lo), jnp.asarray(hi),
+        lay.nbranch, lay.branch_size, lay.nbase, 3, 4, 0)
+    np.testing.assert_allclose(np.asarray(l_out), np.asarray(d_out),
+                               atol=1e-8)
+
+    # the PRE-FIX metadata (slot 2 active on the same leg) provably
+    # double-counts: the delassus identity breaks
+    lm_bad = LegMeta(lm2.leg1, lm2.leg2, lm2.has1,
+                     jnp.asarray(has2 | (np.arange(16) >= 12)))
+    Gp_bad = _leg_panels(lay, fac, jnp.asarray(J), lm_bad)
+    g1b, g2b, gbb = (np.asarray(Gp_bad[:, :s]),
+                     np.asarray(Gp_bad[:, s:2 * s]),
+                     np.asarray(Gp_bad[:, 2 * s:]))
+    Gbad = np.zeros((16, lay.nv))
+    for r in range(16):
+        Gbad[r, nb + int(leg1[r]) * s: nb + (int(leg1[r]) + 1) * s] += g1b[r]
+        Gbad[r, nb + int(leg2[r]) * s: nb + (int(leg2[r]) + 1) * s] += g2b[r]
+        Gbad[r, :nb] += gbb[r]
+    assert np.abs((Gbad @ Gbad.T) - U @ J.T).max() > 1e-3
