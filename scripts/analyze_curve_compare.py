@@ -75,9 +75,10 @@ def main() -> None:
         if not have:
             continue
         print(f"== {metric} (window means) ==")
-        print("window      " + "".join(f"{side}_s{seed:<9}" for side in sides
-                                       for seed in sorted(runs[side])) +
-              "gap    seed_sd")
+        print("window   " + " ".join(f"{side + '_s' + str(seed):>10}"
+                                     for side in sides
+                                     for seed in sorted(runs[side])) +
+              f" {'gap':>9} {'seed_sd':>9}")
         worst_ratio = 0.0
         for (lo, hi) in windows:
             vals = {side: [window_mean(runs[side][seed][metric], lo, hi)
@@ -91,8 +92,8 @@ def main() -> None:
             ) * np.sqrt(2.0)
             ratio = gap / spread if spread > 0 else float("inf")
             worst_ratio = max(worst_ratio, ratio)
-            cells = "".join(f"{v:<11.4f}" for s in sides for v in vals[s])
-            print(f"{lo:3d}-{hi:3d}     {cells}{gap:<7.4f}{spread:.4f}")
+            cells = " ".join(f"{v:>10.4f}" for s in sides for v in vals[s])
+            print(f"{lo:3d}-{hi:3d}  {cells} {gap:>9.4f} {spread:>9.4f}")
         verdict_rows.append((metric, worst_ratio))
         print()
 
