@@ -21,6 +21,11 @@ import jax.numpy as jnp
 
 from nightmare_rl_tpu.core.config import EnvCfg, NightmareV3Cfg, PPOCfg
 from nightmare_rl_tpu.envs.nightmare_v3 import NightmareV3Env
+from nightmare_rl_tpu.utils.compile_cache import (
+    enable_persistent_compile_cache,
+)
+
+enable_persistent_compile_cache()
 
 NUM_ENVS = 4096
 STEPS = 20

@@ -180,7 +180,15 @@ class OnPolicyRunner:
                 jax.profiler.start_trace(profile_dir)
             t0 = time.time()
             self.ts, stats = self.ppo.learn_step(self.ts)
-            loss = float(stats["loss"])  # device->host sync (honest timing)
+            # ONE batched device->host fetch for everything this iteration
+            # reads.  Per-scalar float() fetches cost a full tunnel RTT
+            # (~0.35 s) EACH on the axon backend; the old code made ~11 of
+            # them per iteration (writer block + prints), turning a 1.38 s
+            # device iteration into a 5.8 s wall iteration (round-5
+            # measurement, yaw_r5 run).
+            stats, it64 = jax.device_get((stats, self.ts.iteration))
+            it = int(it64)
+            loss = float(stats["loss"])
             if not np.isfinite(loss):
                 # never checkpoint a diverged state: a NaN save poisons the
                 # resume chain (the supervisor would loop on it forever)
@@ -197,7 +205,6 @@ class OnPolicyRunner:
                 if self.viewer is not None:
                     self.viewer.show(np.asarray(qp), np.asarray(cmd))
             dt_iter = time.time() - t0
-            it = int(self.ts.iteration)
             if profile_dir and k == 4:
                 try:
                     jax.profiler.stop_trace()

@@ -59,7 +59,11 @@ def main() -> None:
     from nightmare_rl_tpu.envs.nightmare_v3 import NightmareV3Env
     from nightmare_rl_tpu.models.actor_critic import ActorCritic
     from nightmare_rl_tpu.utils import checkpoint as ckpt
+    from nightmare_rl_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
 
+    enable_persistent_compile_cache()
     cfg = NightmareV3Cfg().replace(env=EnvCfg(num_envs=1))
     env = NightmareV3Env(cfg)
     net = ActorCritic(num_actions=env.num_actions)
@@ -173,7 +177,11 @@ def grid_eval(args) -> None:
     from nightmare_rl_tpu.envs.nightmare_v3 import NightmareV3Env
     from nightmare_rl_tpu.models.actor_critic import ActorCritic
     from nightmare_rl_tpu.utils import checkpoint as ckpt
+    from nightmare_rl_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
 
+    enable_persistent_compile_cache()
     grid = np.array([
         [+0.3, 0.0, 0.0],
         [-0.3, 0.0, 0.0],

@@ -44,6 +44,11 @@ def main() -> None:
 
     from nightmare_rl_tpu.core.config import EnvCfg, NightmareV3Cfg, PPOCfg
     from nightmare_rl_tpu.rl.runner import OnPolicyRunner, get_load_path
+    from nightmare_rl_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
 
     log_root = args.log_root or os.path.join("logs", args.robot)
     log_dir = os.path.join(log_root, str(datetime.datetime.now()))
