@@ -87,9 +87,13 @@ def forward(sys: S.System, state: S.State, ctrl: jnp.ndarray) -> ForwardOut:
         pair = collision.find_pair_contacts(sys, kin, con)
     # M⁻¹ is never formed here: the leg-sparse PGS works from the arrow
     # factor directly, and the other solver paths build it on demand
+    import os as _os
+
+    _ws = (None if _os.environ.get("NIGHTMARE_NO_WARMSTART")
+           else state.qacc_warmstart)
     sol = solver.solve_contacts(
         sys, con, qpos, qvel, M_chol, qacc_smooth, pair=pair, M=M,
-        lay=lay, fac=fac,
+        lay=lay, fac=fac, warmstart=_ws,
     )
 
     # touch sensors: per-contact normal force = Σ pyramid facet forces

@@ -698,6 +698,7 @@ def solve_contacts(
     Minv: Optional[jnp.ndarray] = None,
     lay=None,
     fac=None,
+    warmstart: Optional[jnp.ndarray] = None,
 ) -> ContactSolveOut:
     """Full constraint solve: dof friction + joint limits + plane contacts
     (+ optional body-body pair contacts), with top-K candidate selection.
@@ -725,6 +726,7 @@ def solve_contacts(
         nsol = newton.solve(
             nefc, M, qacc_smooth, sys.solver_iterations,
             min(sys.ls_iterations, sys.ls_refine),
+            x0=warmstart,
         )
         force = nsol.force
         if sys.noslip_iterations > 0 and not elliptic:
