@@ -158,10 +158,29 @@ def step(sys: S.System, state: S.State, ctrl: jnp.ndarray, n_steps: int = 1) -> 
             qvel = state.qvel + dt * fwd.sol.qacc
         qpos = _integrate_pos(sys, state.qpos, qvel, dt)
 
+        # mj_checkPos/mj_checkVel/mj_checkAcc parity: values beyond
+        # mjMAXVAL (1e10) or non-finite trigger an automatic reset to the
+        # reference pose (MuJoCo's mju_warning + mj_resetData path).
+        # Divergence is reachable in extreme scenarios (e.g. actuators
+        # driven far past joint limits at high velocity — the bang-bang
+        # limit oscillation is chaotic and can run away); without this
+        # guard a single runaway frame poisons the whole lockstep batch
+        # member with NaNs.
+        MAXVAL = 1e10
+        bad = ~(
+            jnp.all(jnp.isfinite(qpos)) & jnp.all(jnp.isfinite(qvel))
+            & (jnp.max(jnp.abs(qpos)) < MAXVAL)
+            & (jnp.max(jnp.abs(qvel)) < MAXVAL)
+        )
+        qpos = jnp.where(bad, sys.qpos0.astype(qpos.dtype), qpos)
+        qvel = jnp.where(bad, jnp.zeros_like(qvel), qvel)
+
         new = state.replace(
             qpos=qpos,
             qvel=qvel,
-            qacc_warmstart=fwd.sol.qacc,
+            qacc_warmstart=jnp.where(
+                bad, jnp.zeros_like(fwd.sol.qacc), fwd.sol.qacc
+            ),
             sensordata=fwd.sensordata,
             xpos=fwd.kin.xpos,
             xquat=fwd.kin.xquat,
