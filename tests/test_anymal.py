@@ -99,3 +99,21 @@ def test_env_trains_one_iteration():
     ts, stats = ppo.learn_step(ts)
     assert np.isfinite(float(stats["loss"]))
     assert stats["episode_reward_means"].shape == (len(env.active_rewards),)
+
+
+def test_state_validity_autoreset():
+    """mj_checkPos/mj_checkVel parity (pipeline.py): a step from a
+    non-finite or >mjMAXVAL state resets that env to the reference pose
+    with zero velocity instead of propagating NaNs forever."""
+    import jax.numpy as jnp
+
+    s = loader.load_system("anymal_c")
+    st = pipeline.make_state(s)
+    st = st.replace(qpos=jnp.asarray(st.qpos),
+                    qvel=jnp.full(s.nv, 1e12, st.qvel.dtype))
+    st = pipeline.step(s, st, jnp.array(st.qpos[7:]), 1)
+    assert bool(jnp.all(jnp.isfinite(st.qpos)))
+    assert bool(jnp.all(jnp.isfinite(st.qvel)))
+    assert float(jnp.max(jnp.abs(st.qvel))) < 1e3
+    np.testing.assert_allclose(np.asarray(st.qpos[:7]),
+                               np.asarray(s.qpos0[:7]), atol=1e-3)

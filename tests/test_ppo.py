@@ -109,3 +109,26 @@ def test_checkpoint_roundtrip(env, tmp_path):
     # restored state continues training
     ts3, stats = ppo.learn_step(ts2)
     assert np.isfinite(float(stats["loss"]))
+
+
+def test_std_floor_clamps_sampling_std():
+    """Flag-gated exploration floor (PolicyCfg.std_floor): std used for
+    sampling/likelihood is clamped at the floor; floor=0 is exact parity
+    (raw parameter passes through)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nightmare_rl_tpu.models.actor_critic import ActorCritic
+
+    obs = jnp.zeros((3, 66), jnp.float32)
+    net = ActorCritic(num_actions=18, std_floor=0.25)
+    params = net.init(jax.random.PRNGKey(0), obs)
+    # collapse the raw parameter below the floor
+    params = jax.tree_util.tree_map(lambda x: x, params)
+    params["params"]["std"] = jnp.full((18,), 0.05, jnp.float32)
+    _, std, _ = net.apply(params, obs)
+    assert float(std.min()) == 0.25
+
+    net0 = ActorCritic(num_actions=18, std_floor=0.0)
+    _, std0, _ = net0.apply(params, obs)
+    assert abs(float(std0.max()) - 0.05) < 1e-7
