@@ -35,6 +35,12 @@ def main() -> None:
                    help="exploration floor on the action std (flag-gated "
                         "deviation from rsl_rl; 0 = parity config — see "
                         "core/config.py PolicyCfg.std_floor)")
+    p.add_argument("--max_ang_vel", type=float, default=None,
+                   help="override the sampled |wz| command range "
+                        "(reference default 0.8 rad/s; the platform's "
+                        "achievable yaw rate is ~0.1-0.3 — see BENCH_NOTES "
+                        "'yaw-tracking gap'.  Flag-gated deviation; unset "
+                        "= parity)")
     args = p.parse_args()
 
     if args.multihost:
@@ -69,6 +75,12 @@ def main() -> None:
         from nightmare_rl_tpu.envs.nightmare_v3 import NightmareV3Env
 
         cfg = NightmareV3Cfg().replace(env=EnvCfg(num_envs=args.num_envs))
+        if args.max_ang_vel is not None:
+            import dataclasses
+
+            cfg = cfg.replace(commands=dataclasses.replace(
+                cfg.commands, ranges=dataclasses.replace(
+                    cfg.commands.ranges, max_ang_vel=args.max_ang_vel)))
         env = NightmareV3Env(cfg)
 
     mesh = None
