@@ -474,7 +474,13 @@ def _probed_mode(nefc: int, nv: int, iterations: int, noslip: int,
         ArrowFac, ArrowLayout, _solve_tril, inv as arrow_inv,
     )
 
-    N = 512
+    # Probe at a TRAINING-REPRESENTATIVE batch.  The original N=512 probe
+    # misranked the implementations at real batches: at N=512 the Pallas
+    # kernel timed ~10% ahead of scan, but at the 2048/4096-env training
+    # and bench scales scan is ~25% faster (measured round 5: forcing the
+    # probed 'kernel' dropped the headline PPO bench 127.5k -> 98.7k
+    # env-steps/s).  NIGHTMARE_PROBE_N overrides.
+    N = int(os.environ.get("NIGHTMARE_PROBE_N", "2048"))
     rng = np.random.default_rng(0)
     dtype = jnp.dtype(dtype_name)
     if lay_shape is not None:
@@ -579,7 +585,8 @@ def choose_mode(legs_available: bool, nefc: int, nv: int, iterations: int,
            legs_available, dtype_name)
     if key in _MODE_CACHE:
         return _MODE_CACHE[key]
-    key_s = f"{_backend_fingerprint()}|{key}"
+    probe_n = int(os.environ.get("NIGHTMARE_PROBE_N", "2048"))
+    key_s = f"{_backend_fingerprint()}|N{probe_n}|{key}"
     if os.environ.get("NIGHTMARE_PROBE") != "reprobe":
         cached = _probe_cache_load().get(key_s)
         if cached in ("legs", "scan", "kernel") and (
